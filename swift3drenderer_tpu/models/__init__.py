@@ -1,0 +1,9 @@
+from .scene import (  # noqa: F401
+    SCENES,
+    anisotropic_scene,
+    clipping_scene,
+    default_scene,
+    icosahedron_scene,
+    stress_scene,
+    tetrahedron_scene,
+)
