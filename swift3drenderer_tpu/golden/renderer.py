@@ -165,6 +165,7 @@ def render_frame(
             job, appended = clip_near(job, near, factor, half_w, half_h)
             if appended is not None:
                 jobs.append(appended)
+            rvz_corner = job.rv[:, 2]  # clip replaced corners
 
         rvmax = job.rv.max(axis=0)
         rvmin = job.rv.min(axis=0)

@@ -1,0 +1,118 @@
+"""Device renderer — the whole frame as one jitted XLA dispatch.
+
+Pipeline (TPU recast of reference render/render.swift:229-344):
+
+  host: camera update (~30 flops, NumPy)   ->  (3, 4) matrix to device
+  device, one jit: vertex + normal matmuls -> corner gather -> fixed-shape
+  near-plane clip prepass -> triangle setup table -> banded visibility resolve
+  (running max over 1/z) -> deferred shading -> (H, W) u32 pixels
+
+Scene arrays are uploaded to HBM once at construction (the analog of the
+reference's one-time data.bin load, render.swift:137-175); per frame only the
+camera matrix crosses host->device and the pixel/depth buffers cross back.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, RenderConfig
+from .ops.clip import clip_prepass
+from .ops.setup import triangle_setup
+from .ops.vertex import project, transform_normals, transform_points
+from .utils.databin import Scene
+
+
+def scene_to_device(scene: Scene) -> Dict[str, jnp.ndarray]:
+    """Upload a host Scene to HBM in structure-of-arrays form."""
+    vi = scene.vertex_indices.reshape(-1, 3).astype(np.int32)
+    ai = scene.attribute_indices.reshape(-1, 3).astype(np.int32)
+    return dict(
+        vertices=jnp.asarray(scene.vertices, jnp.float32),
+        vi=jnp.asarray(vi),
+        ai=jnp.asarray(ai),
+        normals=jnp.asarray(scene.normals, jnp.float32),
+        attr_vec=jnp.asarray(scene.attr_vec, jnp.float32),
+        attr_tex=jnp.asarray(scene.attr_tex, jnp.int32),
+        textures=jnp.asarray(scene.textures, jnp.uint32),
+    )
+
+
+def build_setup(dev: Dict[str, jnp.ndarray], m: jnp.ndarray, *, width: int,
+                height: int, config: RenderConfig) -> Dict[str, jnp.ndarray]:
+    """Geometry front-end: transforms, corner gather, clip prepass, setup table."""
+    factor = config.factor(height)
+    half_w, half_h = width / 2.0, height / 2.0
+    cv = transform_points(dev["vertices"], m)
+    rv = project(cv, factor, half_w, half_h)
+    nrm = transform_normals(dev["normals"], m)
+
+    vi, ai = dev["vi"], dev["ai"]
+    corners = clip_prepass(
+        cv=cv[vi], rv=rv[vi],
+        attr=dev["attr_vec"][ai],
+        n=nrm[ai],
+        tex=dev["attr_tex"][ai[:, 0]],
+        near=config.near, factor=factor, half_w=half_w, half_h=half_h,
+    )
+    return triangle_setup(corners, width, height, config.min_area)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "config", "band_rows",
+                                   "chunk"))
+def render_frame_xla(
+    dev: Dict[str, jnp.ndarray],
+    m: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    config: RenderConfig = DEFAULT_CONFIG,
+    band_rows: int = 32,
+    chunk: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from .ops.raster_xla import rasterize
+
+    setup = build_setup(dev, m, width=width, height=height, config=config)
+    return rasterize(
+        setup, dev["textures"], width=width, height=height,
+        background=config.background_packed, band_rows=band_rows, chunk=chunk,
+    )
+
+
+class Renderer:
+    """Host-side frame orchestrator.
+
+    Caches the compiled executable per (width, height); the scene is resident on
+    device for the renderer's lifetime. ``backend`` selects the rasterizer:
+    'xla' (banded scan) or 'pallas' (tiled kernel, see ops/raster_pallas.py).
+    """
+
+    def __init__(self, scene: Scene, config: RenderConfig = DEFAULT_CONFIG,
+                 backend: str = "xla") -> None:
+        scene.validate()
+        self.config = config
+        self.backend = backend
+        self.dev = scene_to_device(scene)
+
+    def render(self, camera_matrix: np.ndarray, width: int,
+               height: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Render one frame; returns host (pixels (H, W) uint32, depth f32)."""
+        pixels, depth = self.render_device(camera_matrix, width, height)
+        return np.asarray(pixels), np.asarray(depth)
+
+    def render_device(self, camera_matrix, width: int, height: int):
+        """Render, leaving results on device (for benchmarking / presentation)."""
+        m = jnp.asarray(camera_matrix, jnp.float32)
+        if self.backend == "xla":
+            return render_frame_xla(self.dev, m, width=width, height=height,
+                                    config=self.config)
+        if self.backend == "pallas":
+            from .ops.raster_pallas import render_frame_pallas
+            return render_frame_pallas(self.dev, m, width=width, height=height,
+                                       config=self.config)
+        raise ValueError(f"unknown backend {self.backend!r}")

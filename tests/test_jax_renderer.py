@@ -1,0 +1,93 @@
+"""Golden-frame differential tests: JAX/XLA renderer vs the NumPy golden oracle,
+over the BASELINE.json config families (SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from swift3drenderer_tpu.camera import Camera, Input
+from swift3drenderer_tpu.config import DEFAULT_CONFIG
+from swift3drenderer_tpu.golden import render_frame as golden_render
+from swift3drenderer_tpu.models import (
+    anisotropic_scene,
+    clipping_scene,
+    default_scene,
+    icosahedron_scene,
+    tetrahedron_scene,
+)
+from swift3drenderer_tpu.renderer import Renderer
+
+from conftest import pixel_mismatch_fraction
+
+
+def identity_camera():
+    return Camera().update(Input(), force_update=True)
+
+
+def compare(scene, m, w, h, max_mismatch=0.002, renderer=None):
+    golden_px, golden_depth = golden_render(scene, m, w, h)
+    r = renderer or Renderer(scene)
+    px, depth = r.render(m, w, h)
+    frac = pixel_mismatch_fraction(golden_px, px, tol=1)
+    assert frac <= max_mismatch, f"pixel mismatch fraction {frac}"
+    # Depth agreement away from triangle edges: compare where both agree on
+    # coverage.
+    both = (golden_depth > 0) & (depth > 0)
+    if both.any():
+        np.testing.assert_allclose(depth[both], golden_depth[both], rtol=2e-3)
+    return px
+
+
+def test_tetrahedron_fixed_camera():
+    # BASELINE config 1: flat-colored tetrahedron, fixed camera, 640x480.
+    scene = tetrahedron_scene(seed=0)
+    px = compare(scene, identity_camera(), 640, 480)
+    assert (px != DEFAULT_CONFIG.background_packed).sum() > 2000
+
+
+def test_icosahedron_textured():
+    # BASELINE config 2 (fixed camera slice of the fly-through).
+    scene = icosahedron_scene(seed=0)
+    compare(scene, identity_camera(), 320, 240)
+
+
+def test_anisotropic_floor():
+    # BASELINE config 3: shallow-angle textures exercise the ripmap level path.
+    scene = anisotropic_scene()
+    compare(scene, identity_camera(), 320, 240)
+
+
+def test_full_scene():
+    scene = default_scene(seed=0)
+    compare(scene, identity_camera(), 320, 240)
+
+
+def test_fly_through_with_clipping():
+    # BASELINE config 4: camera flies into/through geometry (near-plane splits).
+    scene = clipping_scene(seed=0)
+    cam = Camera()
+    r = Renderer(scene)
+    for step in range(12):
+        m = cam.update(Input(up=2.0), force_update=(step == 0))
+        compare(scene, m, 160, 120, max_mismatch=0.004, renderer=r)
+
+
+def test_mouse_rotated_camera():
+    scene = default_scene(seed=0)
+    cam = Camera()
+    cam.update(Input(), force_update=True)
+    m = cam.update(Input(mouse=(40.0, -25.0)))
+    compare(scene, m, 320, 240)
+
+
+def test_odd_resolution_and_band_remainder():
+    # Height not a multiple of the band size; width not lane-aligned.
+    scene = tetrahedron_scene(seed=0)
+    compare(scene, identity_camera(), 123, 97)
+
+
+def test_depth_is_one_over_z():
+    scene = tetrahedron_scene(seed=0)
+    px, depth = Renderer(scene).render(identity_camera(), 320, 240)
+    covered = depth > 0
+    assert covered.any()
+    assert depth[covered].max() < 1.0 / DEFAULT_CONFIG.near

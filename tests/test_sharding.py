@@ -1,0 +1,69 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4: the fake-backend equivalent)."""
+
+import jax
+import numpy as np
+import pytest
+
+from swift3drenderer_tpu.camera import Camera, Input
+from swift3drenderer_tpu.golden import render_frame as golden_render
+from swift3drenderer_tpu.models import default_scene, tetrahedron_scene
+from swift3drenderer_tpu.parallel.sharding import ShardedRenderer, make_mesh
+from swift3drenderer_tpu.renderer import Renderer
+
+from conftest import pixel_mismatch_fraction
+
+
+def _cameras(n):
+    ms = []
+    cam = Camera()
+    for i in range(n):
+        ms.append(cam.update(Input(right=float(i % 2)), force_update=(i == 0)).copy())
+    return np.stack(ms)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_fb_sharded_matches_single_device():
+    scene = tetrahedron_scene(seed=0)
+    mesh = make_mesh(n_frame=1, n_fb=8)
+    sr = ShardedRenderer(scene, mesh=mesh)
+    m = _cameras(1)
+    px, depth = sr.render_batch(m, 256, 192)
+    single_px, single_d = Renderer(scene).render(m[0], 256, 192)
+    assert pixel_mismatch_fraction(np.asarray(px[0]), single_px, tol=0) == 0.0
+    np.testing.assert_array_equal(np.asarray(depth[0]), single_d)
+
+
+def test_frame_and_fb_sharded():
+    scene = default_scene(seed=0)
+    mesh = make_mesh(n_frame=2, n_fb=4)
+    sr = ShardedRenderer(scene, mesh=mesh)
+    ms = _cameras(4)  # batch 4 over frame axis 2
+    px, depth = sr.render_batch(ms, 128, 96)
+    assert px.shape == (4, 96, 128)
+    # Every frame matches the golden oracle.
+    for b in range(4):
+        gp, _ = golden_render(scene, ms[b], 128, 96)
+        frac = pixel_mismatch_fraction(np.asarray(px[b]), gp, tol=1)
+        assert frac < 0.002, (b, frac)
+
+
+def test_output_sharding_layout():
+    scene = tetrahedron_scene(seed=0)
+    mesh = make_mesh(n_frame=2, n_fb=4)
+    sr = ShardedRenderer(scene, mesh=mesh)
+    px, _ = sr.render_batch(_cameras(2), 128, 96)
+    # Output is sharded over (frame, fb): each device holds a (1, 24, 128) block.
+    shards = px.addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (1, 24, 128)
+
+
+def test_indivisible_height_rejected():
+    scene = tetrahedron_scene(seed=0)
+    sr = ShardedRenderer(scene, mesh=make_mesh(1, 8))
+    with pytest.raises(ValueError, match="not divisible"):
+        sr.render_batch(_cameras(1), 128, 100)
