@@ -59,8 +59,8 @@ def measure(scene_name: str, width: int, height: int, frames: int,
 
 
 # Measured reference C++ -O2 renderer (headless harness, this machine's CPU) at
-# 1920x1080 full scene — see BASELINE.md. None until tools/cpu_baseline has run.
-CPU_BASELINE_FPS = None
+# 1920x1080 full scene — see BASELINE.md and tools/cpu_baseline/results.json.
+CPU_BASELINE_FPS = 25.08
 
 
 def main() -> None:

@@ -58,7 +58,7 @@ def icosahedron_scene(seed: int = 0, textures: Optional[np.ndarray] = None) -> S
     return _finish(b, textures, 1)
 
 
-def anisotropic_scene(textures: Optional[np.ndarray] = None) -> Scene:
+def anisotropic_scene(seed: int = 0, textures: Optional[np.ndarray] = None) -> Scene:
     """BASELINE config 3: large textured floor seen at shallow angles — exercises
     the per-axis ripmap level selection."""
     b = prim.SceneBuilder()
