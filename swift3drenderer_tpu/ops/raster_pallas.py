@@ -1,0 +1,364 @@
+"""Pallas tile rasterizer — the performance backend.
+
+The reference renders each triangle by walking its bbox serially
+(render/render.swift:320-342): O(covered pixels) work on one CPU core. The TPU
+recast inverts the loop: the framebuffer is a grid of lane-aligned VMEM tiles, a
+binning prepass computes which triangles' bboxes touch each tile, and the kernel
+loops only the binned triangles per tile with all tile pixels evaluated per step.
+
+Two in-kernel phases per tile:
+
+1. **Visibility** — closed-form edge functions + running max over 1/z (exactly the
+   reference's ``oneOverZ > depth`` test with 0-cleared depth, render.swift:323-325;
+   strict compare + ascending slot ids preserve earlier-triangle-wins ties).
+2. **Shading** — a second pass over the same binned list, masked to each slot's
+   winning pixels: perspective-correct weights, halfway-vector headlight
+   (render.swift:326-331). Flat-color pixels are fully shaded and packed in-kernel;
+   textured pixels get their anisotropic ripmap *address* computed in-kernel
+   (integer math, render.swift:94-111) — the actual texel fetch stays outside as a
+   single flat XLA gather, which Mosaic does not do well in-kernel.
+
+Memory layout notes (all learned the hard way against the 1 MB SMEM budget):
+per-triangle constants are packed **transposed** as (row, slot) with the slot index
+on the lane axis — SMEM arrays are lane-padded to 128, so (S, k) layouts would
+balloon ~43x. The (ntiles, S) per-tile id lists live in HBM and the kernel DMAs one
+row into SMEM scratch per grid step. Per-tile state stays in vector registers;
+outputs stream to VMEM tiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+
+ATLAS_EDGE = 512
+
+# Row indices of the packed (43, S) float32 table.
+_W00, _DX, _DY, _RVZ = 0, 3, 6, 9          # 3 rows each: barycentric + 1/z
+_CVP, _NP, _ATTRP = 12, 21, 30             # 9 rows each: corner-major premultiplied
+_TPP, _DZV = 39, 41                        # 2 rows each: ripmap level constants
+_F32_ROWS = 43
+# Row indices of the packed (6, S) int32 table.
+_XMIN, _XMAX, _YMIN, _YMAX, _TEXBASE, _ISTEX = 0, 1, 2, 3, 4, 5
+_I32_ROWS = 6
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pack_setup_tables(setup: Dict[str, jnp.ndarray]):
+    """Pack the setup table into SMEM-friendly (row, slot) arrays."""
+    f32 = jnp.concatenate([
+        setup["w00"].T, setup["dx"].T, setup["dy"].T, setup["rvz"].T,
+        setup["cvp"].reshape(-1, 9).T,
+        setup["np"].reshape(-1, 9).T,
+        setup["attrp"].reshape(-1, 9).T,
+        setup["tpp"].T, setup["dzv"].T,
+    ], axis=0).astype(jnp.float32)                       # (43, S)
+    i32 = jnp.stack([
+        setup["xmin"], setup["xmax"], setup["ymin"], setup["ymax"],
+        jnp.where(setup["is_tex"], setup["tex"] << 18, -1),
+        setup["is_tex"].astype(jnp.int32),
+    ], axis=0).astype(jnp.int32)                          # (6, S)
+    return f32, i32
+
+
+def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
+                  tile_h: int, tile_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map each live triangle to the framebuffer tiles its bbox touches.
+
+    Returns (ids (ntiles, S) int32 — touching triangle slots first, ascending;
+    counts (ntiles, 1) int32). Ascending id order preserves the reference's
+    earlier-triangle-wins depth ties.
+    """
+    ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
+    txmin = jnp.clip(setup["xmin"] // tile_w, 0, ntx - 1)       # (S,)
+    txmax = jnp.clip(setup["xmax"] // tile_w, 0, ntx - 1)
+    tymin = jnp.clip(setup["ymin"] // tile_h, 0, nty - 1)
+    tymax = jnp.clip(setup["ymax"] // tile_h, 0, nty - 1)
+    tx = jnp.arange(ntx, dtype=jnp.int32)
+    ty = jnp.arange(nty, dtype=jnp.int32)
+    touch_x = (tx[None, :] >= txmin[:, None]) & (tx[None, :] <= txmax[:, None])
+    touch_y = (ty[None, :] >= tymin[:, None]) & (ty[None, :] <= tymax[:, None])
+    touch = (touch_y[:, :, None] & touch_x[:, None, :]) & setup["live"][:, None, None]
+    touch = touch.reshape(touch.shape[0], nty * ntx).T          # (ntiles, S)
+    ids = jnp.argsort(~touch, axis=1, stable=True).astype(jnp.int32)
+    counts = touch.sum(axis=1, dtype=jnp.int32)[:, None]        # (ntiles, 1)
+    return ids, counts
+
+
+def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int):
+    """Kernel factory: visibility + in-kernel shading and texture fetch per tile."""
+    assert tile_w == 128 and tile_h == 8, \
+        "in-kernel texel fetch assumes (8, 128) vreg-shaped tiles"
+
+    def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_hbm, atlas_ref,
+               pix_ref, ooz_ref,
+               ids_ref, ids_sem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        ntx = pl.num_programs(1)
+        tile = ty * ntx + tx
+
+        # This tile's triangle id list: HBM -> SMEM scratch (the full (ntiles, S)
+        # table is far too large for SMEM residency; one row is a few hundred
+        # bytes). The copy overlaps the pixel-coordinate setup below.
+        dma = pltpu.make_async_copy(ids_hbm.at[tile], ids_ref, ids_sem)
+        dma.start()
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        pyi = y0_ref[0, 0] + ty * tile_h + row
+        pxi = tx * tile_w + col
+        pyf = pyi.astype(jnp.float32)
+        pxf = pxi.astype(jnp.float32)
+
+        n = counts_ref[0, tile]  # this tile's binned triangle count
+        dma.wait()
+
+        def weights(s):
+            w0 = trf_ref[_W00 + 0, s] + pxf * trf_ref[_DX + 0, s] + pyf * trf_ref[_DY + 0, s]
+            w1 = trf_ref[_W00 + 1, s] + pxf * trf_ref[_DX + 1, s] + pyf * trf_ref[_DY + 1, s]
+            w2 = trf_ref[_W00 + 2, s] + pxf * trf_ref[_DX + 2, s] + pyf * trf_ref[_DY + 2, s]
+            return w0, w1, w2
+
+        # ---- phase 1: visibility ----
+        def vis_body(i, carry):
+            best, win = carry
+            s = ids_ref[i]
+            w0, w1, w2 = weights(s)
+            cover = (
+                (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                & (pxi >= tri_ref[_XMIN, s]) & (pxi <= tri_ref[_XMAX, s])
+                & (pyi >= tri_ref[_YMIN, s]) & (pyi <= tri_ref[_YMAX, s])
+            )
+            ooz = (w0 * trf_ref[_RVZ + 0, s] + w1 * trf_ref[_RVZ + 1, s]
+                   + w2 * trf_ref[_RVZ + 2, s])
+            ooz = jnp.where(cover, ooz, 0.0)
+            upd = ooz > best  # strict: earlier slot wins depth ties
+            return jnp.where(upd, ooz, best), jnp.where(upd, s, win)
+
+        best, win = jax.lax.fori_loop(
+            0, n, vis_body,
+            (jnp.zeros((tile_h, tile_w), jnp.float32),
+             jnp.full((tile_h, tile_w), -1, jnp.int32)))
+
+        # ---- phase 2: shade each slot's winning pixels ----
+        def rsqrt3(x, y, z):
+            return jax.lax.rsqrt(x * x + y * y + z * z)
+
+        def shade_body(i, carry):
+            pix, texel, shade = carry
+            s = ids_ref[i]
+            mask = win == s
+
+            w0, w1, w2 = weights(s)
+            inv = 1.0 / best  # best > 0 wherever mask holds
+            t0, t1, t2 = w0 * inv, w1 * inv, w2 * inv  # w / (1/z)
+
+            def interp3(base):
+                x = trf_ref[base + 0, s] * t0 + trf_ref[base + 3, s] * t1 + trf_ref[base + 6, s] * t2
+                y = trf_ref[base + 1, s] * t0 + trf_ref[base + 4, s] * t1 + trf_ref[base + 7, s] * t2
+                z = trf_ref[base + 2, s] * t0 + trf_ref[base + 5, s] * t1 + trf_ref[base + 8, s] * t2
+                return x, y, z
+
+            # Halfway-vector headlight (render.swift:327-330).
+            px_, py_, pz_ = interp3(_CVP)
+            pn = -rsqrt3(px_, py_, pz_)
+            px_, py_, pz_ = px_ * pn, py_ * pn, pz_ * pn
+            nx, ny, nz = interp3(_NP)
+            nn = rsqrt3(nx, ny, nz)
+            nx, ny, nz = nx * nn, ny * nn, nz * nn
+            hx, hy, hz = px_ + nx, py_ + ny, pz_ + nz
+            hn = rsqrt3(hx, hy, hz)
+            sh = (hx * nx + hy * ny + hz * nz) * hn
+
+            # Flat-color path: interpolate premultiplied color, pack 0x00RRGGBB.
+            # int32 packing (channels are in [0, 255], truncation toward zero
+            # matches the reference's UInt8 cast, render.swift:84-87).
+            cr, cg, cb = interp3(_ATTRP)
+            packed = (
+                ((sh * cr).astype(jnp.int32) << 16)
+                | ((sh * cg).astype(jnp.int32) << 8)
+                | (sh * cb).astype(jnp.int32)
+            )
+
+            # Texture path: anisotropic ripmap address (render.swift:94-111).
+            # cr/cg double as the perspective-correct (u, v) mapping.
+            u, v = cr, cg
+            lvl_u = best / jnp.abs(trf_ref[_TPP + 0, s] - u * trf_ref[_DZV + 0, s])
+            lvl_v = best / jnp.abs(trf_ref[_TPP + 1, s] - v * trf_ref[_DZV + 1, s])
+
+            def pow2_level(lv):
+                i2 = jnp.clip(lv, 1.0, 256.0).astype(jnp.int32) - 1
+                i2 = i2 | (i2 >> 1)
+                i2 = i2 | (i2 >> 2)
+                i2 = i2 | (i2 >> 4)
+                return i2 + 1
+
+            lu = pow2_level(lvl_u)
+            lv = pow2_level(lvl_v)
+            tx_ = (jnp.fmod(u, 1.0) * lu).astype(jnp.int32) + (511 & ~(2 * lu - 1))
+            ty_ = (jnp.fmod(v, 1.0) * lv).astype(jnp.int32) + (511 & ~(2 * lv - 1))
+
+            is_tex = tri_ref[_ISTEX, s] != 0
+            pix = jnp.where(mask & ~is_tex, packed, pix)
+            shade = jnp.where(mask, sh, shade)
+
+            # In-kernel texel fetch. The ripmap level selection keeps the texel
+            # footprint of a tile proportional to its pixel extent (~1 texel per
+            # pixel), so the winning pixels of one triangle touch only a handful
+            # of atlas rows: loop those rows, broadcast each 128-lane row chunk
+            # across sublanes, and resolve the per-pixel column with a hardware
+            # lane gather (tpu.dynamic_gather via take_along_axis).
+            active = mask & is_tex
+            trow = tri_ref[_TEXBASE, s] >> 9  # texture base row (index * 512)
+            ty_abs = jnp.clip(ty_ + trow, 0, atlas_rows - 1)
+            tx_c = jnp.clip(tx_, 0, 511)
+            chunk = tx_c >> 7
+            lane = tx_c & 127
+            rmin = jnp.min(jnp.where(active, ty_abs, atlas_rows))
+            rmax = jnp.max(jnp.where(active, ty_abs, -1))
+            cmin = jnp.min(jnp.where(active, chunk, 4))
+            cmax = jnp.max(jnp.where(active, chunk, -1))
+
+            def row_body(y, texel):
+                def chunk_body(c, texel):
+                    # Dynamic sublane starts must be 8-aligned: load the aligned
+                    # (8, 128) block, broadcast row (y & 7) across sublanes with
+                    # a sublane gather, then resolve columns with a lane gather.
+                    yb = pl.multiple_of((y >> 3) * 8, 8)
+                    block = atlas_ref[pl.ds(yb, 8),
+                                      pl.ds(pl.multiple_of(c * 128, 128), 128)]
+                    rowsel = jnp.full((tile_h, tile_w), y & 7, jnp.int32)
+                    rowb = jnp.take_along_axis(block, rowsel, axis=0)
+                    g = jnp.take_along_axis(rowb, lane, axis=1)
+                    sel = active & (ty_abs == y) & (chunk == c)
+                    return jnp.where(sel, g, texel)
+
+                return jax.lax.fori_loop(cmin, cmax + 1, chunk_body, texel)
+
+            texel = jax.lax.fori_loop(rmin, rmax + 1, row_body, texel)
+            return pix, texel, shade
+
+        pix, texel, shade = jax.lax.fori_loop(
+            0, n, shade_body,
+            (jnp.full((tile_h, tile_w), jnp.int32(background)),
+             jnp.full((tile_h, tile_w), -1, jnp.int32),
+             jnp.zeros((tile_h, tile_w), jnp.float32)))
+
+        # Shade-multiply fetched texels (render.swift:330) and merge.
+        tr = ((texel >> 16) & 0xFF).astype(jnp.float32)
+        tg = ((texel >> 8) & 0xFF).astype(jnp.float32)
+        tb = (texel & 0xFF).astype(jnp.float32)
+        tex_pix = (
+            ((shade * tr).astype(jnp.int32) << 16)
+            | ((shade * tg).astype(jnp.int32) << 8)
+            | (shade * tb).astype(jnp.int32)
+        )
+        pix_ref[:] = jnp.where(texel >= 0, tex_pix, pix)
+        ooz_ref[:] = best
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
+                                   "tile_w", "interpret"))
+def rasterize_pallas(
+    setup: Dict[str, jnp.ndarray],
+    textures: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    background: int,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    y_offset: jnp.ndarray | int = 0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full rasterize + shade; returns (pixels (H, W) uint32, depth (H, W) f32)."""
+    s = setup["live"].shape[0]
+    ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
+    ids, counts = bin_triangles(setup, width=width, height=height,
+                                tile_h=tile_h, tile_w=tile_w)
+    # HBM->SMEM DMA slices must be lane-aligned: pad each tile's id row to 128.
+    s_pad = _cdiv(s, 128) * 128
+    ids = jnp.pad(ids, ((0, 0), (0, s_pad - s)))
+    y0 = jnp.asarray(y_offset, jnp.int32).reshape(1, 1)
+    trf, tri = pack_setup_tables(setup)
+
+    # Atlas rows (NT*512, 512) int32 in VMEM for the in-kernel fetch; a dummy
+    # row block keeps shapes valid for untextured scenes (never fetched).
+    nt = textures.shape[0]
+    if nt:
+        atlas = textures.astype(jnp.int32).reshape(nt * 512, 512)
+    else:
+        atlas = jnp.zeros((512, 512), jnp.int32)
+    atlas_rows = atlas.shape[0]
+    if atlas_rows * 512 * 4 > 12 * 1024 * 1024:
+        raise ValueError(
+            f"{nt} textures exceed the VMEM atlas budget of the pallas backend")
+
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731 — full array resident in SMEM
+        shape, lambda ty, tx: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    out_tile = lambda: pl.BlockSpec(  # noqa: E731
+        (tile_h, tile_w), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM)
+    out_shape = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
+        (nty * tile_h, ntx * tile_w), dt)
+
+    pix, ooz = pl.pallas_call(
+        _raster_kernel(tile_h, tile_w, background, atlas_rows),
+        grid=(nty, ntx),
+        in_specs=[
+            smem((1, nty * ntx)),           # per-tile counts, lane-major
+            smem((_F32_ROWS, s)),           # packed per-triangle f32 constants
+            smem((_I32_ROWS, s)),           # packed per-triangle i32 constants
+            smem((1, 1)),                   # y_offset
+            # The (ntiles, S) id table stays in HBM; the kernel DMAs one row
+            # per tile into SMEM scratch.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            # Whole texture atlas VMEM-resident (1 MB per texture).
+            pl.BlockSpec((atlas_rows, 512), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_tile(), out_tile()],
+        out_shape=[out_shape(jnp.int32), out_shape(jnp.float32)],
+        scratch_shapes=[
+            pltpu.SMEM((s_pad,), jnp.int32),  # this tile's id list (lane-padded)
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(counts.T, trf, tri, y0, ids, atlas)
+    return pix[:height, :width].astype(jnp.uint32), ooz[:height, :width]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "config", "tile_h",
+                                   "tile_w", "interpret"))
+def render_frame_pallas(
+    dev: Dict[str, jnp.ndarray],
+    m: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    config: RenderConfig = DEFAULT_CONFIG,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full frame: geometry front-end + Pallas visibility/shading + texture gather."""
+    from ..renderer import build_setup
+
+    setup = build_setup(dev, m, width=width, height=height, config=config)
+    return rasterize_pallas(
+        setup, dev["textures"], width=width, height=height,
+        background=config.background_packed, tile_h=tile_h, tile_w=tile_w,
+        interpret=interpret,
+    )

@@ -113,6 +113,9 @@ class Renderer:
                                     config=self.config)
         if self.backend == "pallas":
             from .ops.raster_pallas import render_frame_pallas
+
+            # Mosaic kernels only run on TPU; interpret elsewhere (CI / CPU tests).
+            interpret = jax.default_backend() not in ("tpu", "axon")
             return render_frame_pallas(self.dev, m, width=width, height=height,
-                                       config=self.config)
+                                       config=self.config, interpret=interpret)
         raise ValueError(f"unknown backend {self.backend!r}")

@@ -1,0 +1,92 @@
+"""Pallas rasterizer backend tests (interpret mode on CPU): binning correctness and
+pixel parity with the XLA backend and the golden oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swift3drenderer_tpu.camera import Camera, Input
+from swift3drenderer_tpu.config import DEFAULT_CONFIG
+from swift3drenderer_tpu.golden import render_frame as golden_render
+from swift3drenderer_tpu.models import (
+    clipping_scene,
+    default_scene,
+    tetrahedron_scene,
+)
+from swift3drenderer_tpu.ops.raster_pallas import bin_triangles
+from swift3drenderer_tpu.renderer import Renderer, build_setup, scene_to_device
+
+from conftest import pixel_mismatch_fraction
+
+
+def identity_camera():
+    return Camera().update(Input(), force_update=True)
+
+
+def test_binning_covers_live_triangles():
+    scene = default_scene(seed=0)
+    dev = scene_to_device(scene)
+    m = jnp.asarray(identity_camera())
+    setup = build_setup(dev, m, width=256, height=192, config=DEFAULT_CONFIG)
+    ids, counts = bin_triangles(setup, width=256, height=192, tile_h=8, tile_w=128)
+    ids, counts = np.asarray(ids), np.asarray(counts)[:, 0]
+    live = np.asarray(setup["live"])
+    xmin = np.asarray(setup["xmin"]); xmax = np.asarray(setup["xmax"])
+    ymin = np.asarray(setup["ymin"]); ymax = np.asarray(setup["ymax"])
+    ntx = 2
+    # Every live triangle appears in exactly the tiles its bbox touches.
+    for s in np.nonzero(live)[0]:
+        for t in range(ids.shape[0]):
+            ty, tx = t // ntx, t % ntx
+            touches = (xmin[s] // 128 <= tx <= xmax[s] // 128
+                       and ymin[s] // 8 <= ty <= ymax[s] // 8)
+            listed = s in ids[t, : counts[t]]
+            assert touches == listed, (s, t)
+    # Dead slots never appear.
+    for t in range(ids.shape[0]):
+        assert not set(ids[t, : counts[t]]) & set(np.nonzero(~live)[0])
+    # Ids within each tile are ascending (depth-tie order).
+    for t in range(ids.shape[0]):
+        lst = ids[t, : counts[t]]
+        assert np.all(np.diff(lst) > 0) or counts[t] <= 1
+
+
+def test_pallas_matches_golden_tetrahedron():
+    scene = tetrahedron_scene(seed=0)
+    m = identity_camera()
+    gp, gd = golden_render(scene, m, 320, 240)
+    px, depth = Renderer(scene, backend="pallas").render(m, 320, 240)
+    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.002
+    both = (gd > 0) & (depth > 0)
+    np.testing.assert_allclose(depth[both], gd[both], rtol=2e-3)
+
+
+def test_pallas_matches_xla():
+    # Same formulas and dtype; XLA's per-program FMA contraction choices still
+    # perturb a handful of edge/tie pixels, so allow a tiny mismatch fraction.
+    scene = default_scene(seed=0)
+    m = identity_camera()
+    px_x, d_x = Renderer(scene, backend="xla").render(m, 320, 240)
+    px_p, d_p = Renderer(scene, backend="pallas").render(m, 320, 240)
+    assert pixel_mismatch_fraction(px_p, px_x, tol=1) < 5e-4
+    both = (d_x > 0) & (d_p > 0)
+    np.testing.assert_allclose(d_p[both], d_x[both], rtol=1e-4)
+
+
+def test_pallas_clipping_flight():
+    scene = clipping_scene(seed=0)
+    cam = Camera()
+    r = Renderer(scene, backend="pallas")
+    for step in range(8):
+        m = cam.update(Input(up=2.0), force_update=(step == 0))
+        gp, _ = golden_render(scene, m, 160, 120)
+        px, _ = r.render(m, 160, 120)
+        assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004, step
+
+
+def test_pallas_non_tile_aligned_resolution():
+    scene = tetrahedron_scene(seed=0)
+    m = identity_camera()
+    px_x, _ = Renderer(scene, backend="xla").render(m, 123, 97)
+    px_p, _ = Renderer(scene, backend="pallas").render(m, 123, 97)
+    assert pixel_mismatch_fraction(px_p, px_x, tol=1) < 1e-3
