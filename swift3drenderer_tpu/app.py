@@ -1,0 +1,231 @@
+"""Application shell — the framework's equivalent of the reference's platform layer
+(reference main.swift:30-166): frame loop, double-buffered pixel memory, live
+resize, input plumbing, 1 Hz perf telemetry, and presentation front-ends.
+
+The reference presents through a CAMetalLayer; headless TPU hosts present by
+writing image files, streaming raw frames, or drawing 24-bit ANSI half-blocks in a
+terminal. Scripted input replays make every mode deterministic and testable.
+
+Also provides checkpoint/resume of the camera pose + frame counter (absent in the
+reference — SURVEY.md section 5 — but trivial and useful for long capture runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from .camera import Camera, Input, KeyboardState
+from .config import DEFAULT_CONFIG, RenderConfig
+from .renderer import Renderer
+from .utils.databin import Scene
+from .utils.ppm import unpack_rgb_words, write_ppm
+from .utils.telemetry import FrameStats
+
+
+class FrameLoop:
+    """Owns renderer + camera + input + telemetry; one ``step()`` per frame.
+
+    Double buffering (reference main.swift:42-44, 117-118): readback alternates
+    between two host buffers so a consumer (encoder, display) can hold frame N
+    while frame N+1 lands.
+    """
+
+    def __init__(self, scene: Scene, width: int = 960, height: int = 540,
+                 config: RenderConfig = DEFAULT_CONFIG, backend: str = "xla",
+                 stats: Optional[FrameStats] = None) -> None:
+        self.renderer = Renderer(scene, config=config, backend=backend)
+        self.camera = Camera(config)
+        self.keyboard = KeyboardState()
+        self.input = Input()
+        self.stats = stats if stats is not None else FrameStats(printer=None)
+        self.width = width
+        self.height = height
+        self.frame_index = 0
+        self._buffers: List[Optional[np.ndarray]] = [None, None]
+        self._buffer_index = 0
+        self._first = True
+
+    def resize(self, width: int, height: int) -> None:
+        """Live resize (reference main.swift:156-165): new dimensions take effect
+        next frame; the renderer re-jits per resolution (compiled executables are
+        cached per (W, H))."""
+        if width < 1 or height < 1:
+            raise ValueError(f"bad framebuffer size {width}x{height}")
+        self.width = width
+        self.height = height
+        self._buffers = [None, None]
+
+    def step(self, inp: Optional[Input] = None) -> np.ndarray:
+        """Render one frame; returns the (H, W) uint32 pixel buffer (host)."""
+        if inp is None:
+            inp = self.keyboard.update_input(self.input)
+        self.input = inp
+        t0 = time.perf_counter()
+        m = self.camera.update(inp, force_update=self._first)
+        self._first = False
+        pixels, _ = self.renderer.render(m, self.width, self.height)
+        # Double buffer: copy into the alternating host buffer.
+        buf = self._buffers[self._buffer_index]
+        if buf is None or buf.shape != pixels.shape:
+            buf = np.empty_like(pixels)
+        np.copyto(buf, pixels)
+        self._buffers[self._buffer_index] = buf
+        self._buffer_index ^= 1
+        self.stats.add_frame(time.perf_counter() - t0)
+        self.frame_index += 1
+        return buf
+
+    # -- checkpoint / resume -------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        state = {"frame_index": self.frame_index,
+                 "width": self.width, "height": self.height,
+                 "camera": self.camera.pose_state()}
+        with open(path, "w") as f:
+            json.dump(state, f)
+
+    def load_checkpoint(self, path: str) -> None:
+        with open(path) as f:
+            state = json.load(f)
+        self.frame_index = int(state["frame_index"])
+        self.resize(int(state["width"]), int(state["height"]))
+        self.camera.load_pose_state(state["camera"])
+        self._first = False
+
+
+def scripted_inputs(script: str, frames: int) -> Iterable[Input]:
+    """Parse a flight script into per-frame Inputs.
+
+    Script syntax: semicolon-separated segments ``<frames>:<keys>`` where keys are
+    any of w/a/s/d (movement), ``+`` (shift x2 speed), and ``mx<f>``/``my<f>``
+    (mouse delta per frame). Example: ``60:w;30:w+mx2;30:s`` — forward 60 frames,
+    fast forward-turning 30, back 30.
+    """
+    segments = []
+    for seg in script.split(";"):
+        seg = seg.strip()
+        if not seg:
+            continue
+        count, _, keys = seg.partition(":")
+        segments.append((int(count), keys))
+    mouse = np.zeros(2, dtype=np.float32)
+    emitted = 0
+    for count, keys in segments:
+        mx = my = 0.0
+        if "mx" in keys:
+            mx = float(keys.split("mx")[1].split("my")[0] or 1)
+        if "my" in keys:
+            my = float(keys.split("my")[1] or 1)
+        speed = 2.0 if "+" in keys else 1.0
+        for _ in range(count):
+            if emitted >= frames:
+                return
+            mouse += (mx, my)
+            yield Input(
+                up=speed if "w" in keys else 0.0,
+                down=speed if "s" in keys else 0.0,
+                left=speed if "a" in keys else 0.0,
+                right=speed if "d" in keys else 0.0,
+                mouse=(float(mouse[0]), float(mouse[1])),
+            )
+            emitted += 1
+    while emitted < frames:
+        yield Input(mouse=(float(mouse[0]), float(mouse[1])))
+        emitted += 1
+
+
+def ansi_frame(pixels: np.ndarray, columns: int = 100) -> str:
+    """Render a pixel buffer as 24-bit ANSI half-block characters (2 pixels per
+    character cell vertically) for terminal presentation."""
+    h, w = pixels.shape
+    cols = min(columns, w)
+    rows = max(1, (h * cols) // (w * 2) * 2)
+    ys = (np.linspace(0, h - 1, rows)).astype(int)
+    xs = (np.linspace(0, w - 1, cols)).astype(int)
+    rgb = unpack_rgb_words(pixels[np.ix_(ys, xs)])
+    out = []
+    for r in range(0, rows - 1, 2):
+        line = []
+        for c in range(cols):
+            tr, tg, tb = rgb[r, c]
+            br, bg, bb = rgb[r + 1, c]
+            line.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+        out.append("".join(line) + "\x1b[0m")
+    return "\n".join(out)
+
+
+def run_headless(scene: Scene, *, width: int, height: int, frames: int,
+                 script: str = "", backend: str = "xla",
+                 config: RenderConfig = DEFAULT_CONFIG,
+                 out_dir: Optional[str] = None, out_every: int = 0,
+                 checkpoint: Optional[str] = None,
+                 terminal: bool = False, stats: Optional[FrameStats] = None,
+                 ) -> Tuple[np.ndarray, FrameStats]:
+    """Scripted capture run; returns (last frame, stats)."""
+    stats = stats or FrameStats()
+    loop = FrameLoop(scene, width, height, config=config, backend=backend,
+                     stats=stats)
+    if checkpoint and os.path.exists(checkpoint):
+        loop.load_checkpoint(checkpoint)
+    pixels = None
+    for i, inp in enumerate(scripted_inputs(script, frames)):
+        pixels = loop.step(inp)
+        if out_dir and out_every and i % out_every == 0:
+            os.makedirs(out_dir, exist_ok=True)
+            write_ppm(os.path.join(out_dir, f"frame_{loop.frame_index:05d}.ppm"),
+                      unpack_rgb_words(pixels))
+        if terminal:
+            sys.stdout.write("\x1b[H\x1b[2J" + ansi_frame(pixels) + "\n")
+            sys.stdout.flush()
+    if checkpoint:
+        loop.save_checkpoint(checkpoint)
+    return pixels, stats
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    from .models import SCENES
+    from .utils.databin import load_scene
+
+    p = argparse.ArgumentParser(
+        prog="python -m swift3drenderer_tpu.app",
+        description="Headless/terminal app shell for the TPU renderer")
+    p.add_argument("--scene", default="default",
+                   help=f"scene name ({', '.join(SCENES)}) or a data.bin path")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--script", default="60:w;60:w mx2",
+                   help="flight script, e.g. '60:w;30:w+mx2;30:s'")
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--out", default=None, help="directory for PPM frame dumps")
+    p.add_argument("--out-every", type=int, default=30)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--terminal", action="store_true",
+                   help="present frames as ANSI half-blocks in the terminal")
+    args = p.parse_args(argv)
+
+    if os.path.exists(args.scene):
+        scene = load_scene(args.scene)
+    else:
+        scene = SCENES[args.scene](seed=args.seed)
+    pixels, stats = run_headless(
+        scene, width=args.width, height=args.height, frames=args.frames,
+        script=args.script, backend=args.backend, out_dir=args.out,
+        out_every=args.out_every, checkpoint=args.checkpoint,
+        terminal=args.terminal)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        write_ppm(os.path.join(args.out, "final.ppm"), unpack_rgb_words(pixels))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

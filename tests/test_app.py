@@ -1,0 +1,109 @@
+"""App shell tests: frame loop, double buffering, resize, scripted input,
+checkpoint/resume, telemetry, ANSI presentation, and the CLIs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from swift3drenderer_tpu.app import (
+    FrameLoop,
+    ansi_frame,
+    main as app_main,
+    run_headless,
+    scripted_inputs,
+)
+from swift3drenderer_tpu.datagen import main as datagen_main
+from swift3drenderer_tpu.models import tetrahedron_scene
+from swift3drenderer_tpu.utils.databin import load_scene
+from swift3drenderer_tpu.utils.telemetry import FrameStats
+
+
+def test_frame_loop_double_buffering():
+    loop = FrameLoop(tetrahedron_scene(seed=0), 64, 48)
+    a = loop.step()
+    b = loop.step()
+    # Alternating buffers: frame N+1 lands in a different host buffer.
+    assert a is not b
+    c = loop.step()
+    assert c is a  # buffer reused on the next flip
+    assert loop.frame_index == 3
+
+
+def test_frame_loop_resize():
+    loop = FrameLoop(tetrahedron_scene(seed=0), 64, 48)
+    loop.step()
+    loop.resize(80, 60)
+    px = loop.step()
+    assert px.shape == (60, 80)
+    with pytest.raises(ValueError):
+        loop.resize(0, 10)
+
+
+def test_scripted_inputs():
+    inputs = list(scripted_inputs("2:w;1:s+;2:d mx2", 10))
+    assert len(inputs) == 10
+    assert inputs[0].up == 1.0 and inputs[0].down == 0.0
+    assert inputs[2].down == 2.0  # '+' doubles speed
+    assert inputs[3].right == 1.0
+    # Mouse accumulates only during mx segments.
+    assert inputs[4].mouse[0] == inputs[3].mouse[0] + 2.0
+    # Script exhausted -> idle frames with final mouse value.
+    assert inputs[9].up == 0.0 and inputs[9].mouse == inputs[4].mouse
+
+
+def test_checkpoint_resume(tmp_path):
+    scene = tetrahedron_scene(seed=0)
+    ckpt = str(tmp_path / "pose.json")
+    px1, _ = run_headless(scene, width=64, height=48, frames=10, script="10:w",
+                          checkpoint=ckpt)
+    assert os.path.exists(ckpt)
+    loop = FrameLoop(scene, 64, 48)
+    loop.load_checkpoint(ckpt)
+    assert loop.frame_index == 10
+    assert abs(loop.camera.position[2] + 1.0) < 1e-5  # 10 frames x speed 0.1
+
+
+def test_telemetry_report():
+    lines = []
+    stats = FrameStats(report_interval=0.0, printer=lines.append)
+    stats.add_frame(1.0 / 120.0)  # half the 60 fps budget
+    assert stats.reports and abs(stats.reports[0]["percentage"] - 50.0) < 1e-6
+    assert any("50.00%" in line for line in lines)
+
+
+def test_ansi_frame():
+    px = np.full((8, 16), 0x112233, dtype=np.uint32)
+    s = ansi_frame(px, columns=8)
+    assert "\x1b[38;2;17;34;51m" in s and s.endswith("\x1b[0m")
+
+
+def test_app_cli(tmp_path):
+    out = str(tmp_path / "frames")
+    rc = app_main(["--scene", "tetrahedron", "--width", "64", "--height", "48",
+                   "--frames", "5", "--script", "5:w", "--out", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "final.ppm"))
+
+
+def test_datagen_cli(tmp_path):
+    out = str(tmp_path / "data.bin")
+    rc = datagen_main(["--scene", "default", "--seed", "3", "--out", out])
+    assert rc == 0
+    scene = load_scene(out)
+    assert scene.num_triangles == 51
+
+
+def test_datagen_atlas_cli(tmp_path):
+    from swift3drenderer_tpu.utils.ppm import write_ppm
+    base = np.full((256, 256, 3), 77, dtype=np.uint8)
+    base_path = str(tmp_path / "base.ppm")
+    write_ppm(base_path, base)
+    out = str(tmp_path / "atlas.ppm")
+    rc = datagen_main(["--atlas", base_path, "--out", out])
+    assert rc == 0
+    from swift3drenderer_tpu.utils.ppm import read_ppm
+    atlas = read_ppm(out)
+    assert atlas.shape == (512, 512, 3)
+    assert np.all(atlas[0, 0] == 77)
