@@ -25,6 +25,10 @@ class RenderConfig:
     min_area: float = 10.0                  # signed-area cull threshold (render.swift:280)
     texture_size: int = 512                 # ripmap atlas edge (texels)
     base_level: int = 256                   # largest ripmap level per axis
+    # Texture filter within the selected ripmap level: "nearest" is the
+    # reference-exact fetch (render.swift:104-111); "bilinear" is this
+    # framework's extension (weights from texel centers, repeat-wrapped).
+    sampling: str = "nearest"
 
     @property
     def scale(self) -> float:

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..utils.databin import Scene
-from ..utils.ripmap import sample_ripmap
+from ..utils.ripmap import sample_ripmap, sample_ripmap_bilinear
 
 f32 = np.float32
 
@@ -235,7 +235,9 @@ def render_frame(
             mapping = wt @ uvp  # (..., 2)
             with np.errstate(divide="ignore", invalid="ignore"):
                 level = (ooz[..., None] / np.abs(tpp - mapping * dz)).astype(f32)
-            color = sample_ripmap(scene.textures[job.tex], mapping, level)
+            sampler = (sample_ripmap_bilinear if cfg.sampling == "bilinear"
+                       else sample_ripmap)
+            color = sampler(scene.textures[job.tex], mapping, level)
         else:
             color = (wt @ attrp).astype(f32)
 

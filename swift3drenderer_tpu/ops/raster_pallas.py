@@ -95,7 +95,8 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
     return ids, counts
 
 
-def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int):
+def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
+                   bilinear: bool = False):
     """Kernel factory: visibility + in-kernel shading and texture fetch per tile."""
     assert tile_w == 128 and tile_h == 8, \
         "in-kernel texel fetch assumes (8, 128) vreg-shaped tiles"
@@ -156,7 +157,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int):
             return jax.lax.rsqrt(x * x + y * y + z * z)
 
         def shade_body(i, carry):
-            pix, texel, shade = carry
+            pix, shade, ar, ag, ab, tm = carry
             s = ids_ref[i]
             mask = win == s
 
@@ -191,7 +192,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int):
                 | (sh * cb).astype(jnp.int32)
             )
 
-            # Texture path: anisotropic ripmap address (render.swift:94-111).
+            # Texture path: anisotropic ripmap level select (render.swift:94-111).
             # cr/cg double as the perspective-correct (u, v) mapping.
             u, v = cr, cg
             lvl_u = best / jnp.abs(trf_ref[_TPP + 0, s] - u * trf_ref[_DZV + 0, s])
@@ -206,72 +207,110 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int):
 
             lu = pow2_level(lvl_u)
             lv = pow2_level(lvl_v)
-            tx_ = (jnp.fmod(u, 1.0) * lu).astype(jnp.int32) + (511 & ~(2 * lu - 1))
-            ty_ = (jnp.fmod(v, 1.0) * lv).astype(jnp.int32) + (511 & ~(2 * lv - 1))
 
             is_tex = tri_ref[_ISTEX, s] != 0
             pix = jnp.where(mask & ~is_tex, packed, pix)
             shade = jnp.where(mask, sh, shade)
-
-            # In-kernel texel fetch. The ripmap level selection keeps the texel
-            # footprint of a tile proportional to its pixel extent (~1 texel per
-            # pixel), so the winning pixels of one triangle touch only a handful
-            # of atlas rows: loop those rows, broadcast each 128-lane row chunk
-            # across sublanes, and resolve the per-pixel column with a hardware
-            # lane gather (tpu.dynamic_gather via take_along_axis).
             active = mask & is_tex
             trow = tri_ref[_TEXBASE, s] >> 9  # texture base row (index * 512)
-            ty_abs = jnp.clip(ty_ + trow, 0, atlas_rows - 1)
-            tx_c = jnp.clip(tx_, 0, 511)
-            chunk = tx_c >> 7
-            lane = tx_c & 127
-            rmin = jnp.min(jnp.where(active, ty_abs, atlas_rows))
-            rmax = jnp.max(jnp.where(active, ty_abs, -1))
-            cmin = jnp.min(jnp.where(active, chunk, 4))
-            cmax = jnp.max(jnp.where(active, chunk, -1))
 
-            def row_body(y, texel):
-                def chunk_body(c, texel):
-                    # Dynamic sublane starts must be 8-aligned: load the aligned
-                    # (8, 128) block, broadcast row (y & 7) across sublanes with
-                    # a sublane gather, then resolve columns with a lane gather.
+            # In-kernel texel fetch. The ripmap level selection keeps a tile's
+            # texel footprint proportional to its pixel extent (~1 texel/pixel),
+            # so the winning pixels of one triangle touch only a handful of
+            # atlas rows: loop those rows, broadcast each aligned (8, 128)
+            # block row across sublanes with a sublane gather, and resolve the
+            # per-pixel column with a hardware lane gather (tpu.dynamic_gather).
+            # Winner masks are disjoint across triangles, so the float RGB
+            # accumulators are written by exactly one triangle per pixel.
+            if not bilinear:
+                # Reference-exact nearest fetch.
+                tx_ = (jnp.fmod(u, 1.0) * lu).astype(jnp.int32) + (511 & ~(2 * lu - 1))
+                ty_ = (jnp.fmod(v, 1.0) * lv).astype(jnp.int32) + (511 & ~(2 * lv - 1))
+                ly0 = jnp.clip(ty_ + trow, 0, atlas_rows - 1)
+                lx0 = jnp.clip(tx_, 0, 511)
+                ly1, lx1 = ly0, lx0
+                wx = jnp.zeros_like(u)
+                wy = jnp.zeros_like(v)
+            else:
+                # Bilinear within the level (framework extension; see
+                # ops/texture.py): texel centers at integer+0.5, repeat wrap.
+                tu = jnp.mod(u, 1.0) * lu - 0.5
+                tv = jnp.mod(v, 1.0) * lv - 0.5
+                xf = jnp.floor(tu).astype(jnp.int32)
+                yf = jnp.floor(tv).astype(jnp.int32)
+                wx = tu - xf
+                wy = tv - yf
+                offx = 511 & ~(2 * lu - 1)
+                offy = 511 & ~(2 * lv - 1)
+                lx0 = jnp.clip(jnp.mod(xf, lu) + offx, 0, 511)
+                lx1 = jnp.clip(jnp.mod(xf + 1, lu) + offx, 0, 511)
+                ly0 = jnp.clip(jnp.mod(yf, lv) + offy + trow, 0, atlas_rows - 1)
+                ly1 = jnp.clip(jnp.mod(yf + 1, lv) + offy + trow, 0, atlas_rows - 1)
+
+            ch0, ln0 = lx0 >> 7, lx0 & 127
+            ch1, ln1 = lx1 >> 7, lx1 & 127
+            rmin = jnp.min(jnp.where(active, jnp.minimum(ly0, ly1), atlas_rows))
+            rmax = jnp.max(jnp.where(active, jnp.maximum(ly0, ly1), -1))
+            cmin = jnp.min(jnp.where(active, jnp.minimum(ch0, ch1), 4))
+            cmax = jnp.max(jnp.where(active, jnp.maximum(ch0, ch1), -1))
+
+            def row_body(y, acc):
+                def chunk_body(c, acc):
+                    ar, ag, ab = acc
+                    # Dynamic sublane starts must be 8-aligned: load the
+                    # aligned (8, 128) block, broadcast row (y & 7).
                     yb = pl.multiple_of((y >> 3) * 8, 8)
                     block = atlas_ref[pl.ds(yb, 8),
                                       pl.ds(pl.multiple_of(c * 128, 128), 128)]
                     rowsel = jnp.full((tile_h, tile_w), y & 7, jnp.int32)
                     rowb = jnp.take_along_axis(block, rowsel, axis=0)
-                    g = jnp.take_along_axis(rowb, lane, axis=1)
-                    sel = active & (ty_abs == y) & (chunk == c)
-                    return jnp.where(sel, g, texel)
+                    if not bilinear:
+                        g = jnp.take_along_axis(rowb, ln0, axis=1)
+                        sel = active & (ly0 == y) & (ch0 == c)
+                        ar = jnp.where(sel, ((g >> 16) & 0xFF).astype(jnp.float32), ar)
+                        ag = jnp.where(sel, ((g >> 8) & 0xFF).astype(jnp.float32), ag)
+                        ab = jnp.where(sel, (g & 0xFF).astype(jnp.float32), ab)
+                    else:
+                        yw = (jnp.where(active & (ly0 == y), 1.0 - wy, 0.0)
+                              + jnp.where(active & (ly1 == y), wy, 0.0))
+                        g0 = jnp.take_along_axis(rowb, ln0, axis=1)
+                        g1 = jnp.take_along_axis(rowb, ln1, axis=1)
+                        xw0 = jnp.where(ch0 == c, 1.0 - wx, 0.0)
+                        xw1 = jnp.where(ch1 == c, wx, 0.0)
+                        r_ = xw0 * ((g0 >> 16) & 0xFF) + xw1 * ((g1 >> 16) & 0xFF)
+                        g_ = xw0 * ((g0 >> 8) & 0xFF) + xw1 * ((g1 >> 8) & 0xFF)
+                        b_ = xw0 * (g0 & 0xFF) + xw1 * (g1 & 0xFF)
+                        ar = ar + yw * r_
+                        ag = ag + yw * g_
+                        ab = ab + yw * b_
+                    return ar, ag, ab
 
-                return jax.lax.fori_loop(cmin, cmax + 1, chunk_body, texel)
+                return jax.lax.fori_loop(cmin, cmax + 1, chunk_body, acc)
 
-            texel = jax.lax.fori_loop(rmin, rmax + 1, row_body, texel)
-            return pix, texel, shade
+            ar, ag, ab = jax.lax.fori_loop(rmin, rmax + 1, row_body, (ar, ag, ab))
+            tm = tm | active
+            return pix, shade, ar, ag, ab, tm
 
-        pix, texel, shade = jax.lax.fori_loop(
+        zf = jnp.zeros((tile_h, tile_w), jnp.float32)
+        pix, shade, ar, ag, ab, tm = jax.lax.fori_loop(
             0, n, shade_body,
-            (jnp.full((tile_h, tile_w), jnp.int32(background)),
-             jnp.full((tile_h, tile_w), -1, jnp.int32),
-             jnp.zeros((tile_h, tile_w), jnp.float32)))
+            (jnp.full((tile_h, tile_w), jnp.int32(background)), zf,
+             zf, zf, zf, jnp.zeros((tile_h, tile_w), jnp.bool_)))
 
         # Shade-multiply fetched texels (render.swift:330) and merge.
-        tr = ((texel >> 16) & 0xFF).astype(jnp.float32)
-        tg = ((texel >> 8) & 0xFF).astype(jnp.float32)
-        tb = (texel & 0xFF).astype(jnp.float32)
         tex_pix = (
-            ((shade * tr).astype(jnp.int32) << 16)
-            | ((shade * tg).astype(jnp.int32) << 8)
-            | (shade * tb).astype(jnp.int32)
+            ((shade * ar).astype(jnp.int32) << 16)
+            | ((shade * ag).astype(jnp.int32) << 8)
+            | (shade * ab).astype(jnp.int32)
         )
-        pix_ref[:] = jnp.where(texel >= 0, tex_pix, pix)
+        pix_ref[:] = jnp.where(tm, tex_pix, pix)
         ooz_ref[:] = best
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
-                                   "tile_w", "interpret"))
+                                   "tile_w", "interpret", "sampling"))
 def rasterize_pallas(
     setup: Dict[str, jnp.ndarray],
     textures: jnp.ndarray,
@@ -283,6 +322,7 @@ def rasterize_pallas(
     tile_w: int = 128,
     y_offset: jnp.ndarray | int = 0,
     interpret: bool = False,
+    sampling: str = "nearest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full rasterize + shade; returns (pixels (H, W) uint32, depth (H, W) f32)."""
     s = setup["live"].shape[0]
@@ -315,7 +355,8 @@ def rasterize_pallas(
         (nty * tile_h, ntx * tile_w), dt)
 
     pix, ooz = pl.pallas_call(
-        _raster_kernel(tile_h, tile_w, background, atlas_rows),
+        _raster_kernel(tile_h, tile_w, background, atlas_rows,
+                       bilinear=(sampling == "bilinear")),
         grid=(nty, ntx),
         in_specs=[
             smem((1, nty * ntx)),           # per-tile counts, lane-major
@@ -360,5 +401,5 @@ def render_frame_pallas(
     return rasterize_pallas(
         setup, dev["textures"], width=width, height=height,
         background=config.background_packed, tile_h=tile_h, tile_w=tile_w,
-        interpret=interpret,
+        interpret=interpret, sampling=config.sampling,
     )

@@ -20,7 +20,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .texture import sample_ripmap
+from .texture import sample_ripmap, sample_ripmap_bilinear
 
 _SETUP_KEYS = ("live", "w00", "dx", "dy", "rvz", "cvp", "np", "attrp", "tex",
                "is_tex", "tpp", "dzv", "xmin", "xmax", "ymin", "ymax")
@@ -51,6 +51,7 @@ def shade_pixels(
     setup: Dict[str, jnp.ndarray],
     textures: jnp.ndarray,
     background: int,
+    sampling: str = "nearest",
 ) -> jnp.ndarray:
     """Deferred shading (render.swift:326-331 + texture path :312-316)."""
     wid = jnp.maximum(win, 0)
@@ -69,7 +70,8 @@ def shade_pixels(
     interp = (wt[..., None] * g("attrp")).sum(axis=-2)  # (..., 3)
     mapping = interp[..., :2]
     level = ooz[..., None] / jnp.abs(g("tpp") - mapping * g("dzv"))
-    tex_color = sample_ripmap(textures, g("tex"), mapping, level) \
+    sampler = sample_ripmap_bilinear if sampling == "bilinear" else sample_ripmap
+    tex_color = sampler(textures, g("tex"), mapping, level) \
         if textures.shape[0] else jnp.zeros_like(interp)
     color = jnp.where(g("is_tex")[..., None], tex_color, interp)
 
@@ -83,7 +85,7 @@ def shade_pixels(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "background", "band_rows",
-                                   "chunk"))
+                                   "chunk", "sampling"))
 def rasterize(
     setup: Dict[str, jnp.ndarray],
     textures: jnp.ndarray,
@@ -94,6 +96,7 @@ def rasterize(
     band_rows: int = 32,
     chunk: int = 16,
     y_offset: jnp.ndarray | int = 0,
+    sampling: str = "nearest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rasterize the setup table; returns (pixels (H, W) uint32, depth (H, W) f32).
 
@@ -154,7 +157,7 @@ def rasterize(
         (best, win), _ = jax.lax.scan(step, init, (chunked, slot_ids))
         pixels = shade_pixels(win, best, jnp.broadcast_to(px, best.shape),
                               jnp.broadcast_to(pyf, best.shape), setup, textures,
-                              background)
+                              background, sampling=sampling)
         return pixels, best
 
     pixels, depth = jax.lax.map(band_fn, jnp.arange(nbands))

@@ -48,3 +48,36 @@ def sample_ripmap(textures: jnp.ndarray, tex_idx: jnp.ndarray, uv: jnp.ndarray,
     return jnp.stack(
         [(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF], axis=-1
     ).astype(jnp.float32)
+
+
+def sample_ripmap_bilinear(textures: jnp.ndarray, tex_idx: jnp.ndarray,
+                           uv: jnp.ndarray, level: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear fetch within the selected ripmap level (framework extension,
+    matches utils.ripmap.sample_ripmap_bilinear): texel centers at integer+0.5,
+    repeat wrapping."""
+    lv = jnp.clip(jnp.nan_to_num(level, nan=256.0, posinf=256.0, neginf=1.0),
+                  1.0, 256.0)
+    lp = next_power_of_two(lv)
+    frac = jnp.mod(jnp.nan_to_num(uv), 1.0)
+    t = frac * lp - 0.5
+    t0 = jnp.floor(t).astype(jnp.int32)
+    w = (t - t0).astype(jnp.float32)
+    off = 511 & ~(2 * lp - 1)
+    nt = textures.shape[0]
+    flat = textures.reshape(-1)
+    base = jnp.clip(tex_idx, 0, max(nt - 1, 0)) * (ATLAS_EDGE * ATLAS_EDGE)
+
+    def fetch(ix, iy):
+        x = jnp.clip(jnp.mod(ix, lp[..., 0]) + off[..., 0], 0, ATLAS_EDGE - 1)
+        y = jnp.clip(jnp.mod(iy, lp[..., 1]) + off[..., 1], 0, ATLAS_EDGE - 1)
+        rgb = jnp.take(flat, base + y * ATLAS_EDGE + x, mode="clip")
+        return jnp.stack(
+            [(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF], axis=-1
+        ).astype(jnp.float32)
+
+    x0, y0 = t0[..., 0], t0[..., 1]
+    wx, wy = w[..., 0:1], w[..., 1:2]
+    return ((1 - wx) * (1 - wy) * fetch(x0, y0)
+            + wx * (1 - wy) * fetch(x0 + 1, y0)
+            + (1 - wx) * wy * fetch(x0, y0 + 1)
+            + wx * wy * fetch(x0 + 1, y0 + 1))

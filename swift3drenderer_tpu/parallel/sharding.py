@@ -77,7 +77,7 @@ def render_batch_sharded(
             return rasterize(
                 setup, dev_rep["textures"], width=width, height=local_h,
                 background=config.background_packed, band_rows=band_rows,
-                chunk=chunk, y_offset=y0,
+                chunk=chunk, y_offset=y0, sampling=config.sampling,
             )
 
         return jax.vmap(one_frame)(m_local)

@@ -81,6 +81,7 @@ def render_frame_xla(
     return rasterize(
         setup, dev["textures"], width=width, height=height,
         background=config.background_packed, band_rows=band_rows, chunk=chunk,
+        sampling=config.sampling,
     )
 
 

@@ -96,3 +96,40 @@ def sample_ripmap(words: np.ndarray, uv: np.ndarray, level: np.ndarray) -> np.nd
     return np.stack(
         [(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF], axis=-1
     ).astype(np.float32)
+
+
+def sample_ripmap_bilinear(words: np.ndarray, uv: np.ndarray,
+                           level: np.ndarray) -> np.ndarray:
+    """Bilinear fetch within the selected ripmap level (framework extension; the
+    reference is nearest-only). Texel centers at integer+0.5, repeat wrapping.
+
+    Same signature as :func:`sample_ripmap`; returns (..., 3) float32 RGB.
+    """
+    lv = np.clip(np.nan_to_num(level, nan=256.0, posinf=256.0, neginf=1.0), 1.0, 256.0)
+    li = lv.astype(np.int64) - 1
+    li |= li >> 1
+    li |= li >> 2
+    li |= li >> 4
+    lp = li + 1                                        # per-axis pow2 level
+    frac = np.mod(np.nan_to_num(uv), 1.0)              # positive wrap
+    t = frac * lp - 0.5
+    t0 = np.floor(t).astype(np.int64)
+    w = (t - t0).astype(np.float32)                    # (..., 2) blend weights
+    off = 511 & ~(2 * lp - 1)
+
+    def fetch(ix, iy):
+        x = np.clip((ix % lp[..., 0]) + off[..., 0], 0, ATLAS_EDGE - 1)
+        y = np.clip((iy % lp[..., 1]) + off[..., 1], 0, ATLAS_EDGE - 1)
+        rgb = words[y, x].astype(np.uint32)
+        return np.stack(
+            [(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF], axis=-1
+        ).astype(np.float32)
+
+    x0, y0 = t0[..., 0], t0[..., 1]
+    wx, wy = w[..., 0:1], w[..., 1:2]
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    return ((1 - wx) * (1 - wy) * c00 + wx * (1 - wy) * c10
+            + (1 - wx) * wy * c01 + wx * wy * c11)
