@@ -56,14 +56,29 @@ def measure(scene_name: str, width: int, height: int, frames: int,
         _, sums = jax.lax.scan(body, 0, mats)
         return sums
 
-    s = render_chain(dev, mats, width, height)
-    float(np.asarray(s).sum())  # compile + warm up
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        s = render_chain(dev, mats, width, height)
-        float(np.asarray(s).sum())
-        best = min(best, (time.perf_counter() - t0) / frames)
+    @jax.jit
+    def empty_chain(mats):
+        def body(carry, m):
+            return carry, m.sum()
+        _, sums = jax.lax.scan(body, 0, mats)
+        return sums
+
+    def timed(fn, *args):
+        s = fn(*args)
+        float(np.asarray(s).sum())  # compile + warm up
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = fn(*args)
+            float(np.asarray(s).sum())
+            best = min(best, (time.perf_counter() - t0) / frames)
+        return best
+
+    # Subtract the fixed dispatch/roundtrip cost of an identical empty chain so
+    # the figure is pure render time (on tunneled attachments the roundtrip is
+    # ~30 ms and would otherwise smear ~30/frames ms into every frame).
+    overhead = timed(empty_chain, mats)
+    best = max(timed(render_chain, dev, mats, width, height) - overhead, 1e-9)
     return dict(frame_ms=best * 1e3, fps=1.0 / best,
                 tris=scene.num_triangles, pixels=width * height)
 

@@ -1,0 +1,327 @@
+/* Native CPU render core — behavioral twin of the TPU pipeline.
+ *
+ * Same architecture as the device path (renderer.py + ops/): structure-of-arrays
+ * scene, batched vertex/normal transform, fixed-shape near-plane clip prepass
+ * (T triangles -> 2T slots with validity), per-slot setup table with closed-form
+ * barycentric constants, visibility resolve into a winner-id buffer, then
+ * deferred shading (each pixel lit and textured exactly once).
+ *
+ * Numerics match the golden oracle (golden/renderer.py): f32 everywhere,
+ * w(px, py) = w00 + px*dx + py*dy evaluated closed-form (build with
+ * -ffp-contract=off so the compiler doesn't fuse those into FMAs), depth = 1/z
+ * cleared to 0 with strictly-greater wins, area < min_area backface/small cull
+ * (reference render/render.swift:280), and the reference's exact anisotropic
+ * ripmap addressing (render.swift:94-111).
+ *
+ * Slot order is [primaries 0..T) then [appended T..2T)], matching the
+ * reference's processing order (originals first, then mid-frame appends in
+ * creation order — render.swift:260) for depth-tie behavior.
+ */
+
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+#include "internal.h"
+
+namespace {
+
+struct Slot {
+    float w00[3], dx[3], dy[3], rvz[3];
+    float cvp[3][3], np_[3][3], attrp[3][3];
+    float tpp[2], dzv[2];
+    int xmin, xmax, ymin, ymax;
+    int32_t tex;
+    bool istex;
+    bool live;
+};
+
+struct Corner {
+    Vec3 cv, rv, attr, n;
+};
+
+inline float edge_fn(const Vec3 &a, const Vec3 &b, float cx, float cy) {
+    return (cx - a.x) * (a.y - b.y) + (cy - a.y) * (b.x - a.x);
+}
+
+inline Vec3 normalize3(Vec3 v) {
+    float n = sqrtf(dot3(v, v));
+    return {v.x / n, v.y / n, v.z / n};
+}
+
+inline uint32_t next_pow2(float f) {
+    int i = (int)f - 1; /* truncate first (render.swift:95-101) */
+    i |= i >> 1;
+    i |= i >> 2;
+    i |= i >> 4;
+    return (uint32_t)(i + 1);
+}
+
+}  // namespace
+
+struct s3d_renderer {
+    const s3d_scene *scene;
+    std::vector<Vec3> cv, rv;     /* per vertex */
+    std::vector<Vec3> nrm;        /* per attribute */
+    std::vector<Slot> slots;      /* 2T */
+    std::vector<float> depth_own; /* used when fb->depth == NULL */
+    std::vector<int32_t> winner;
+};
+
+extern "C" s3d_renderer *s3d_renderer_create(const s3d_scene *scene) {
+    auto r = new s3d_renderer();
+    r->scene = scene;
+    r->cv.resize((size_t)scene->vertex_count());
+    r->rv.resize((size_t)scene->vertex_count());
+    r->nrm.resize((size_t)scene->attribute_count());
+    r->slots.resize((size_t)scene->triangle_count() * 2);
+    return r;
+}
+
+extern "C" void s3d_renderer_free(s3d_renderer *r) { delete r; }
+
+namespace {
+
+/* Crossing point on edge i -> j at depth == near (render.swift:186-199). */
+Corner crossing(const Corner &a, const Corner &b, float near, float factor,
+                float half_w, float half_h) {
+    float t = (near - a.rv.z) / (b.rv.z - a.rv.z);
+    Corner out;
+    out.cv = a.cv * (1 - t) + b.cv * t;
+    out.rv = {out.cv.x * factor / near + half_w,
+              -out.cv.y * factor / near + half_h, near};
+    out.attr = a.attr * (1 - t) + b.attr * t;
+    out.n = a.n * (1 - t) + b.n * t;
+    return out;
+}
+
+void fill_slot(Slot &slot, const Corner c[3], int32_t tex, int width, int height,
+               float min_area) {
+    const Vec3 &r0 = c[0].rv, &r1 = c[1].rv, &r2 = c[2].rv;
+    float rvmax_x = fmaxf(fmaxf(r0.x, r1.x), r2.x);
+    float rvmax_y = fmaxf(fmaxf(r0.y, r1.y), r2.y);
+    float rvmin_x = fminf(fminf(r0.x, r1.x), r2.x);
+    float rvmin_y = fminf(fminf(r0.y, r1.y), r2.y);
+    float area = edge_fn(r0, r1, r2.x, r2.y);
+    slot.live = !(rvmax_x < 0 || rvmax_y < 0 || rvmin_x >= (float)width ||
+                  rvmin_y >= (float)height || area < min_area);
+    if (!slot.live) return;
+    float ooa = 1.0f / area;
+    slot.w00[0] = edge_fn(r1, r2, 0.5f, 0.5f) * ooa;
+    slot.w00[1] = edge_fn(r2, r0, 0.5f, 0.5f) * ooa;
+    slot.w00[2] = edge_fn(r0, r1, 0.5f, 0.5f) * ooa;
+    slot.dx[0] = (r1.y - r2.y) * ooa;
+    slot.dx[1] = (r2.y - r0.y) * ooa;
+    slot.dx[2] = (r0.y - r1.y) * ooa;
+    slot.dy[0] = (r2.x - r1.x) * ooa;
+    slot.dy[1] = (r0.x - r2.x) * ooa;
+    slot.dy[2] = (r1.x - r0.x) * ooa;
+    slot.xmin = (int)fmaxf(0.f, rvmin_x);
+    slot.xmax = (int)fminf((float)(width - 1), rvmax_x);
+    slot.ymin = (int)fmaxf(0.f, rvmin_y);
+    slot.ymax = (int)fminf((float)(height - 1), rvmax_y);
+    for (int k = 0; k < 3; k++) {
+        float rz = 1.0f / c[k].rv.z;
+        slot.rvz[k] = rz;
+        Vec3 cvp = c[k].cv * rz, np = c[k].n * rz, ap = c[k].attr * rz;
+        memcpy(slot.cvp[k], &cvp, 12);
+        memcpy(slot.np_[k], &np, 12);
+        memcpy(slot.attrp[k], &ap, 12);
+    }
+    slot.dzv[0] = slot.rvz[0] * slot.dx[0] + slot.rvz[1] * slot.dx[1] +
+                  slot.rvz[2] * slot.dx[2];
+    slot.dzv[1] = slot.rvz[0] * slot.dy[0] + slot.rvz[1] * slot.dy[1] +
+                  slot.rvz[2] * slot.dy[2];
+    slot.tpp[0] = slot.attrp[0][0] * slot.dx[0] + slot.attrp[1][0] * slot.dx[1] +
+                  slot.attrp[2][0] * slot.dx[2];
+    slot.tpp[1] = slot.attrp[0][1] * slot.dy[0] + slot.attrp[1][1] * slot.dy[1] +
+                  slot.attrp[2][1] * slot.dy[2];
+    slot.tex = tex;
+    slot.istex = tex >= 0;
+}
+
+/* Reference-exact nearest ripmap fetch (render.swift:104-111). */
+inline Vec3 fetch_nearest(const uint32_t *tex, float u, float v, float lu,
+                          float lv) {
+    uint32_t Lx = next_pow2(fmaxf(fminf(lu, 256.f), 1.f));
+    uint32_t Ly = next_pow2(fmaxf(fminf(lv, 256.f), 1.f));
+    int x = (int)(fmodf(u, 1.f) * (float)Lx) + (int)(511u & ~(2u * Lx - 1u));
+    int y = (int)(fmodf(v, 1.f) * (float)Ly) + (int)(511u & ~(2u * Ly - 1u));
+    x = x < 0 ? 0 : (x > 511 ? 511 : x);
+    y = y < 0 ? 0 : (y > 511 ? 511 : y);
+    uint32_t rgb = tex[x + (y << 9)];
+    return {(float)(rgb >> 16), (float)((rgb >> 8) & 255), (float)(rgb & 255)};
+}
+
+/* Bilinear within the level (framework extension; utils/ripmap.py twin). */
+inline Vec3 fetch_bilinear(const uint32_t *tex, float u, float v, float lu,
+                           float lv) {
+    uint32_t Lx = next_pow2(fmaxf(fminf(lu, 256.f), 1.f));
+    uint32_t Ly = next_pow2(fmaxf(fminf(lv, 256.f), 1.f));
+    float fu = u - floorf(u), fv = v - floorf(v); /* positive wrap */
+    float tu = fu * (float)Lx - 0.5f, tv = fv * (float)Ly - 0.5f;
+    int x0 = (int)floorf(tu), y0 = (int)floorf(tv);
+    float wx = tu - (float)x0, wy = tv - (float)y0;
+    int offx = (int)(511u & ~(2u * Lx - 1u)), offy = (int)(511u & ~(2u * Ly - 1u));
+    auto texel = [&](int xi, int yi) -> Vec3 {
+        int x = ((xi % (int)Lx) + (int)Lx) % (int)Lx + offx;
+        int y = ((yi % (int)Ly) + (int)Ly) % (int)Ly + offy;
+        uint32_t rgb = tex[x + (y << 9)];
+        return {(float)(rgb >> 16), (float)((rgb >> 8) & 255), (float)(rgb & 255)};
+    };
+    Vec3 c00 = texel(x0, y0), c10 = texel(x0 + 1, y0);
+    Vec3 c01 = texel(x0, y0 + 1), c11 = texel(x0 + 1, y0 + 1);
+    return (1 - wx) * (1 - wy) * c00 + wx * (1 - wy) * c10 +
+           (1 - wx) * wy * c01 + wx * wy * c11;
+}
+
+}  // namespace
+
+extern "C" void s3d_render(s3d_renderer *r, const float *m,
+                           const s3d_config *config, s3d_framebuffer *fb) {
+    const s3d_scene *sc = r->scene;
+    const int W = (int)fb->width, H = (int)fb->height;
+    const float near = config->near_plane;
+    const float scale = near * tanf(config->fov / 2.f);
+    const float factor = near * (float)H / (2.f * scale);
+    const float half_w = (float)W / 2.f, half_h = (float)H / 2.f;
+    const int64_t V = sc->vertex_count(), A = sc->attribute_count(),
+                  T = sc->triangle_count();
+
+    /* Vertex + normal stages (batched; reference render.swift:248-255). */
+    for (int64_t i = 0; i < V; i++) {
+        const float *p = &sc->vertices[i * 4];
+        Vec3 cv = {m[0] * p[0] + m[1] * p[1] + m[2] * p[2] + m[3],
+                   m[4] * p[0] + m[5] * p[1] + m[6] * p[2] + m[7],
+                   m[8] * p[0] + m[9] * p[1] + m[10] * p[2] + m[11]};
+        r->cv[i] = cv;
+        float z = -cv.z;
+        r->rv[i] = {cv.x * factor / z + half_w, -cv.y * factor / z + half_h, z};
+    }
+    for (int64_t i = 0; i < A; i++) {
+        const float *p = &sc->normals[i * 4];
+        r->nrm[i] = {m[0] * p[0] + m[1] * p[1] + m[2] * p[2],
+                     m[4] * p[0] + m[5] * p[1] + m[6] * p[2],
+                     m[8] * p[0] + m[9] * p[1] + m[10] * p[2]};
+    }
+
+    /* Clip prepass -> 2T slots (fixed shape; see ops/clip.py for the cases). */
+    for (int64_t t = 0; t < T; t++) {
+        Slot &prim = r->slots[(size_t)t];
+        Slot &sec = r->slots[(size_t)(T + t)];
+        prim.live = sec.live = false;
+        Corner c[3];
+        int32_t tex = (int32_t)sc->attr_tex[sc->attribute_indices[3 * t]];
+        for (int k = 0; k < 3; k++) {
+            int64_t vi = sc->vertex_indices[3 * t + k];
+            int64_t ai = sc->attribute_indices[3 * t + k];
+            c[k].cv = r->cv[vi];
+            c[k].rv = r->rv[vi];
+            c[k].n = r->nrm[ai];
+            const float *av = &sc->attr_vec[ai * 3];
+            c[k].attr = {av[0], av[1], av[2]};
+        }
+        bool front[3];
+        int nfront = 0;
+        for (int k = 0; k < 3; k++) {
+            front[k] = c[k].rv.z > near;
+            nfront += front[k];
+        }
+        if (nfront == 0) continue;                 /* render.swift:269 */
+        if (nfront == 3) {
+            fill_slot(prim, c, tex, W, H, config->min_area);
+            continue;
+        }
+        int s = 0;
+        while (front[s] != front[(s + 1) % 3]) s++;
+        int nxt = (s + 1) % 3, prc = (s + 2) % 3;
+        Corner x_next = crossing(c[nxt], c[prc], near, factor, half_w, half_h);
+        Corner x_prec = crossing(c[prc], c[s], near, factor, half_w, half_h);
+        if (front[s]) { /* two in front: modify + append (render.swift:202-222) */
+            Corner p3[3] = {c[0], c[1], c[2]};
+            p3[prc] = x_next;
+            fill_slot(prim, p3, tex, W, H, config->min_area);
+            Corner a3[3] = {c[s], x_next, x_prec};
+            fill_slot(sec, a3, tex, W, H, config->min_area);
+        } else {        /* one in front: shrink in place (render.swift:223-226) */
+            Corner p3[3] = {c[0], c[1], c[2]};
+            p3[s] = x_prec;
+            p3[nxt] = x_next;
+            fill_slot(prim, p3, tex, W, H, config->min_area);
+        }
+    }
+
+    /* Clear + visibility resolve into the winner buffer. */
+    float *depth = fb->depth;
+    if (!depth) {
+        r->depth_own.assign((size_t)W * H, 0.f);
+        depth = r->depth_own.data();
+    } else {
+        memset(depth, 0, (size_t)W * H * 4);
+    }
+    r->winner.assign((size_t)W * H, -1);
+    int32_t *win = r->winner.data();
+
+    for (size_t sidx = 0; sidx < r->slots.size(); sidx++) {
+        const Slot &sl = r->slots[sidx];
+        if (!sl.live) continue;
+        for (int y = sl.ymin; y <= sl.ymax; y++) {
+            float fy = (float)y;
+            float wr0 = sl.w00[0] + fy * sl.dy[0];
+            float wr1 = sl.w00[1] + fy * sl.dy[1];
+            float wr2 = sl.w00[2] + fy * sl.dy[2];
+            float *drow = depth + (size_t)y * W;
+            int32_t *wrow = win + (size_t)y * W;
+            for (int x = sl.xmin; x <= sl.xmax; x++) {
+                float fx = (float)x;
+                float w0 = wr0 + fx * sl.dx[0];
+                float w1 = wr1 + fx * sl.dx[1];
+                float w2 = wr2 + fx * sl.dx[2];
+                if (w0 >= 0 && w1 >= 0 && w2 >= 0) {
+                    float ooz = w0 * sl.rvz[0] + w1 * sl.rvz[1] + w2 * sl.rvz[2];
+                    if (ooz > drow[x]) {
+                        drow[x] = ooz;
+                        wrow[x] = (int32_t)sidx;
+                    }
+                }
+            }
+        }
+    }
+
+    /* Deferred shading (render.swift:326-331 + texture path :312-316). */
+    for (int64_t p = 0; p < (int64_t)W * H; p++) {
+        int32_t sidx = win[p];
+        if (sidx < 0) {
+            fb->pixels[p] = config->background;
+            continue;
+        }
+        const Slot &sl = r->slots[(size_t)sidx];
+        float fx = (float)(p % W), fy = (float)(p / W);
+        float ooz = depth[p];
+        float w0 = (sl.w00[0] + fx * sl.dx[0] + fy * sl.dy[0]) / ooz;
+        float w1 = (sl.w00[1] + fx * sl.dx[1] + fy * sl.dy[1]) / ooz;
+        float w2 = (sl.w00[2] + fx * sl.dx[2] + fy * sl.dy[2]) / ooz;
+        auto interp = [&](const float v[3][3]) -> Vec3 {
+            return {v[0][0] * w0 + v[1][0] * w1 + v[2][0] * w2,
+                    v[0][1] * w0 + v[1][1] * w1 + v[2][1] * w2,
+                    v[0][2] * w0 + v[1][2] * w1 + v[2][2] * w2};
+        };
+        Vec3 point = -normalize3(interp(sl.cvp));
+        Vec3 normal = normalize3(interp(sl.np_));
+        Vec3 halfway = normalize3(point + normal);
+        float shade = dot3(halfway, normal);
+        Vec3 color = interp(sl.attrp);
+        if (sl.istex) {
+            float u = color.x, v = color.y;
+            float lu = ooz / fabsf(sl.tpp[0] - u * sl.dzv[0]);
+            float lv = ooz / fabsf(sl.tpp[1] - v * sl.dzv[1]);
+            const uint32_t *tex = sc->textures.data() + ((size_t)sl.tex << 18);
+            color = config->bilinear ? fetch_bilinear(tex, u, v, lu, lv)
+                                     : fetch_nearest(tex, u, v, lu, lv);
+        }
+        uint32_t rr = (uint32_t)(shade * color.x);
+        uint32_t gg = (uint32_t)(shade * color.y);
+        uint32_t bb = (uint32_t)(shade * color.z);
+        fb->pixels[p] = (rr << 16) | (gg << 8) | bb;
+    }
+}

@@ -1,0 +1,124 @@
+"""Native runtime tests: the C++ CPU core as a behavioral twin of the golden
+oracle (the same dual-implementation cross-check the reference maintains between
+its Swift and C++ cores, reference README.md:17)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from swift3drenderer_tpu.camera import Camera, Input
+from swift3drenderer_tpu.config import DEFAULT_CONFIG
+from swift3drenderer_tpu.golden import render_frame as golden_render
+from swift3drenderer_tpu.models import clipping_scene, default_scene, tetrahedron_scene
+from swift3drenderer_tpu.utils.databin import dump_scene
+
+from conftest import pixel_mismatch_fraction
+
+native = pytest.importorskip("swift3drenderer_tpu.native")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session", autouse=True)
+def build_native():
+    subprocess.run(["make", "-C", os.path.join(REPO, "native")], check=True,
+                   capture_output=True)
+    assert native.native_available()
+
+
+def identity_camera():
+    return Camera().update(Input(), force_update=True)
+
+
+def test_native_matches_golden_default_scene():
+    scene = default_scene(seed=0)
+    m = identity_camera()
+    gp, gd = golden_render(scene, m, 320, 240)
+    nr = native.NativeRenderer(scene)
+    px, d = nr.render(m, 320, 240)
+    frac = pixel_mismatch_fraction(gp, px, tol=1)
+    assert frac < 0.002, frac
+    both = (gd > 0) & (d > 0)
+    np.testing.assert_allclose(d[both], gd[both], rtol=1e-4)
+
+
+def test_native_clipping_flight():
+    scene = clipping_scene(seed=0)
+    cam = Camera()
+    nr = native.NativeRenderer(scene)
+    for step in range(10):
+        m = cam.update(Input(up=2.0), force_update=(step == 0))
+        gp, _ = golden_render(scene, m, 160, 120)
+        px, _ = nr.render(m, 160, 120)
+        assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004, step
+
+
+def test_native_bilinear():
+    import dataclasses
+    cfg = dataclasses.replace(DEFAULT_CONFIG, sampling="bilinear")
+    scene = default_scene(seed=0)
+    m = identity_camera()
+    gp, _ = golden_render(scene, m, 160, 120, config=cfg)
+    px, _ = native.NativeRenderer(scene, config=cfg).render(m, 160, 120)
+    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.003
+
+
+def test_native_scene_io_roundtrip(tmp_path):
+    scene = default_scene(seed=0)
+    path = str(tmp_path / "data.bin")
+    dump_scene(scene, path)
+    lib = native.load_native()
+    handle = native.load_scene_native(path)
+    assert lib.s3d_scene_vertex_count(handle) == 39
+    assert lib.s3d_scene_triangle_count(handle) == 51
+    assert lib.s3d_scene_texture_count(handle) == 2
+    # Save through native, reload through Python: byte-identical.
+    out = str(tmp_path / "resaved.bin")
+    assert lib.s3d_scene_save(handle, out.encode()) == 0
+    assert open(out, "rb").read() == open(path, "rb").read()
+    lib.s3d_scene_free(handle)
+
+
+def test_native_rejects_corrupt_scene(tmp_path):
+    scene = default_scene(seed=0)
+    blob = bytearray(dump_scene(scene))
+    off = 16 + 39 * 16 + 16 + 154 * 8 + 16  # first attribute record
+    blob[off + 32] = 0  # flip texture attr to color -> mixed triangle
+    path = str(tmp_path / "bad.bin")
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="mixes color and texture"):
+        native.load_scene_native(path)
+    with pytest.raises(ValueError, match="truncated"):
+        path2 = str(tmp_path / "short.bin")
+        open(path2, "wb").write(bytes(blob[:40]))
+        native.load_scene_native(path2)
+
+
+def test_native_camera_twin():
+    cam_py = Camera()
+    cam_nat = native.NativeCamera()
+    for step in range(5):
+        inp = Input(up=1.0, right=0.5, mouse=(3.0 * step, -step))
+        m_py = cam_py.update(inp, force_update=(step == 0))
+        m_nat = cam_nat.update(up=1.0, right=0.5, mouse=(3.0 * step, -step),
+                               force_update=(step == 0))
+        np.testing.assert_allclose(m_nat, m_py, atol=1e-5)
+
+
+def test_native_perf_sanity():
+    # The native core should comfortably beat the NumPy oracle.
+    import time
+    scene = tetrahedron_scene(seed=0)
+    m = identity_camera()
+    nr = native.NativeRenderer(scene)
+    nr.render(m, 640, 480)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        nr.render(m, 640, 480)
+    native_t = (time.perf_counter() - t0) / 5
+    t0 = time.perf_counter()
+    golden_render(scene, m, 640, 480)
+    golden_t = time.perf_counter() - t0
+    assert native_t < golden_t
