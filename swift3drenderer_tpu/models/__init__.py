@@ -4,6 +4,7 @@ from .scene import (  # noqa: F401
     clipping_scene,
     default_scene,
     icosahedron_scene,
+    regular_floor_scene,
     stress_scene,
     tetrahedron_scene,
 )

@@ -100,6 +100,21 @@ def stress_scene(seed: int = 0, objects: int = 64,
     return _finish(b, textures, 2)
 
 
+def regular_floor_scene(seed: int = 0, size: int = 30,
+                        textures: Optional[np.ndarray] = None) -> Scene:
+    """The generator's alternative per-cell floor (gen:108-188): a size x size
+    grid of offset textured triangles plus the polyhedra — 2 + 2*size^2 + 48
+    triangles, a mid-size geometry workload."""
+    rng = np.random.default_rng(seed)
+    b = prim.SceneBuilder()
+    prim.add_regular_floor(b, size=size)
+    for i in range(2):
+        prim.add_tetrahedron(b, rng, p=(-10.0 + 4.0 * i, 5.0, -10.0 - 3.0 * i))
+    for i in range(2):
+        prim.add_icosahedron(b, rng, p=(10.0 - 4.0 * i, 5.0, -10.0 - 3.0 * i))
+    return _finish(b, textures, 2)
+
+
 SCENES = {
     "default": default_scene,
     "tetrahedron": tetrahedron_scene,
@@ -107,4 +122,5 @@ SCENES = {
     "anisotropic": anisotropic_scene,
     "clipping": clipping_scene,
     "stress": stress_scene,
+    "regular_floor": regular_floor_scene,
 }

@@ -43,7 +43,7 @@ def make_mesh(n_frame: int = 1, n_fb: Optional[int] = None,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config", "mesh",
-                                   "band_rows", "chunk"))
+                                   "band_rows", "chunk", "backend", "interpret"))
 def render_batch_sharded(
     dev: Dict[str, jnp.ndarray],
     matrices: jnp.ndarray,     # (B, 3, 4) camera batch, B % mesh.frame == 0
@@ -54,9 +54,12 @@ def render_batch_sharded(
     mesh: Mesh,
     band_rows: int = 8,
     chunk: int = 16,
+    backend: str = "xla",
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render a camera batch over the mesh; returns (pixels (B, H, W) uint32,
     depth (B, H, W) f32), sharded P('frame', 'fb', None)."""
+    from ..ops.raster_pallas import rasterize_pallas
     from ..ops.raster_xla import rasterize
 
     n_fb = mesh.shape["fb"]
@@ -67,6 +70,8 @@ def render_batch_sharded(
         raise ValueError(
             f"camera batch {matrices.shape[0]} not divisible by frame axis {n_frame}")
     local_h = height // n_fb
+    if backend == "pallas" and local_h % 8:
+        raise ValueError(f"pallas backend needs 8-row-aligned shards, got {local_h}")
 
     def shard_fn(dev_rep, m_local):
         y0 = jax.lax.axis_index("fb") * local_h
@@ -74,6 +79,12 @@ def render_batch_sharded(
         def one_frame(m):
             setup = build_setup(dev_rep, m, width=width, height=height,
                                 config=config)
+            if backend == "pallas":
+                return rasterize_pallas(
+                    setup, dev_rep["textures"], width=width, height=local_h,
+                    background=config.background_packed, y_offset=y0,
+                    interpret=interpret, sampling=config.sampling,
+                )
             return rasterize(
                 setup, dev_rep["textures"], width=width, height=local_h,
                 background=config.background_packed, band_rows=band_rows,
@@ -86,6 +97,9 @@ def render_batch_sharded(
         shard_fn, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(), dev), P("frame")),
         out_specs=P("frame", "fb", None),
+        # pallas_call outputs carry no varying-mesh-axis annotation; skip the
+        # vma check (outputs are explicitly laid out by out_specs anyway).
+        check_vma=False,
     )
     return fn(dev, matrices)
 
@@ -94,17 +108,21 @@ class ShardedRenderer:
     """Multi-device front-end mirroring Renderer's API for camera batches."""
 
     def __init__(self, scene, config: RenderConfig = DEFAULT_CONFIG,
-                 mesh: Optional[Mesh] = None) -> None:
+                 mesh: Optional[Mesh] = None, backend: str = "xla") -> None:
         from ..renderer import scene_to_device
 
         scene.validate()
         self.config = config
+        self.backend = backend
         self.mesh = mesh if mesh is not None else make_mesh(1, len(jax.devices()))
         self.dev = scene_to_device(scene)
 
     def render_batch(self, matrices: np.ndarray, width: int, height: int):
+        interpret = (self.backend == "pallas"
+                     and jax.default_backend() not in ("tpu", "axon"))
         out = render_batch_sharded(
             self.dev, jnp.asarray(matrices, jnp.float32),
             width=width, height=height, config=self.config, mesh=self.mesh,
+            backend=self.backend, interpret=interpret,
         )
         return out

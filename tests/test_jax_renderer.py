@@ -91,3 +91,10 @@ def test_depth_is_one_over_z():
     covered = depth > 0
     assert covered.any()
     assert depth[covered].max() < 1.0 / DEFAULT_CONFIG.near
+
+
+def test_regular_floor_scene():
+    from swift3drenderer_tpu.models import regular_floor_scene
+    scene = regular_floor_scene(seed=0, size=8)  # 2*64 floor tris + 48 polyhedra
+    assert scene.num_triangles == 2 * 64 + 48
+    compare(scene, identity_camera(), 160, 120, max_mismatch=0.004)

@@ -67,3 +67,22 @@ def test_indivisible_height_rejected():
     sr = ShardedRenderer(scene, mesh=make_mesh(1, 8))
     with pytest.raises(ValueError, match="not divisible"):
         sr.render_batch(_cameras(1), 128, 100)
+
+
+def test_pallas_backend_sharded_matches_golden():
+    # The Pallas tile rasterizer under shard_map (interpret mode on the CPU
+    # mesh): fb-sharded output must match the golden oracle.
+    scene = tetrahedron_scene(seed=0)
+    mesh = make_mesh(n_frame=1, n_fb=4)
+    sr = ShardedRenderer(scene, mesh=mesh, backend="pallas")
+    m = _cameras(1)
+    px, depth = sr.render_batch(m, 256, 192)
+    gp, _ = golden_render(scene, m[0], 256, 192)
+    assert pixel_mismatch_fraction(np.asarray(px[0]), gp, tol=1) < 0.002
+
+
+def test_pallas_backend_sharded_alignment_check():
+    scene = tetrahedron_scene(seed=0)
+    sr = ShardedRenderer(scene, mesh=make_mesh(1, 4), backend="pallas")
+    with pytest.raises(ValueError, match="8-row-aligned"):
+        sr.render_batch(_cameras(1), 128, 4 * 9)
