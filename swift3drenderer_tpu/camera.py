@@ -165,3 +165,31 @@ class KeyboardState:
         if self.mouse_captured:
             inp.mouse = (float(self.mouse_accum[0]), float(self.mouse_accum[1]))
         return inp
+
+
+class GamepadState:
+    """Dual-thumbstick input mapping — the reference's iOS virtual controller
+    path (reference input.swift:62-92): the left stick maps to the movement
+    floats (left/right from x, up/down from y) and the right stick integrates
+    into the mouse position at 6x scale."""
+
+    MOUSE_SCALE = 6.0  # input.swift:91
+
+    def __init__(self) -> None:
+        self.left_stick = np.zeros(2, dtype=np.float32)
+        self.right_stick = np.zeros(2, dtype=np.float32)
+        self.mouse_accum = np.zeros(2, dtype=np.float32)
+
+    def set_sticks(self, left=(0.0, 0.0), right=(0.0, 0.0)) -> None:
+        self.left_stick = np.asarray(left, dtype=np.float32)
+        self.right_stick = np.asarray(right, dtype=np.float32)
+
+    def update_input(self, inp: Input) -> Input:
+        # input.swift:87-91 — note left/up are the negated stick axes.
+        inp.left = float(-self.left_stick[0])
+        inp.right = float(self.left_stick[0])
+        inp.up = float(self.left_stick[1])
+        inp.down = float(-self.left_stick[1])
+        self.mouse_accum += np.float32(self.MOUSE_SCALE) * self.right_stick
+        inp.mouse = (float(self.mouse_accum[0]), float(self.mouse_accum[1]))
+        return inp

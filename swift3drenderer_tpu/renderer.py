@@ -120,3 +120,19 @@ class Renderer:
             return render_frame_pallas(self.dev, m, width=width, height=height,
                                        config=self.config, interpret=interpret)
         raise ValueError(f"unknown backend {self.backend!r}")
+
+    def render_batch(self, matrices: np.ndarray, width: int, height: int):
+        """Render a batch of camera poses on one chip (vmapped — the serving
+        path; for multi-chip batches see parallel.sharding.ShardedRenderer).
+        Returns device arrays (B, H, W) pixels and depth."""
+        ms = jnp.asarray(matrices, jnp.float32)
+        if self.backend == "pallas":
+            from .ops.raster_pallas import render_frame_pallas
+
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            fn = partial(render_frame_pallas, self.dev, width=width,
+                         height=height, config=self.config, interpret=interpret)
+        else:
+            fn = partial(render_frame_xla, self.dev, width=width, height=height,
+                         config=self.config)
+        return jax.vmap(fn)(ms)

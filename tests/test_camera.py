@@ -85,3 +85,17 @@ def test_mouse_capture_gates_input():
     kb.mouse_delta(100.0, 100.0)
     inp2 = kb.update_input(Input(mouse=inp.mouse))
     assert inp2.mouse == (3.0, -2.0)
+
+
+def test_gamepad_input_mapping():
+    from swift3drenderer_tpu.camera import GamepadState
+    gp = GamepadState()
+    gp.set_sticks(left=(0.5, 1.0), right=(1.0, -2.0))
+    inp = gp.update_input(Input())
+    # input.swift:87-90: left/right from stick x (left negated), up/down from y.
+    assert inp.right == 0.5 and inp.left == -0.5
+    assert inp.up == 1.0 and inp.down == -1.0
+    # Right stick integrates into the mouse at 6x (input.swift:91).
+    assert inp.mouse == (6.0, -12.0)
+    inp = gp.update_input(inp)
+    assert inp.mouse == (12.0, -24.0)

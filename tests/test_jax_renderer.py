@@ -98,3 +98,16 @@ def test_regular_floor_scene():
     scene = regular_floor_scene(seed=0, size=8)  # 2*64 floor tris + 48 polyhedra
     assert scene.num_triangles == 2 * 64 + 48
     compare(scene, identity_camera(), 160, 120, max_mismatch=0.004)
+
+
+def test_single_device_camera_batch():
+    scene = tetrahedron_scene(seed=0)
+    cam = Camera()
+    ms = np.stack([cam.update(Input(right=1.0), force_update=(i == 0)).copy()
+                   for i in range(3)])
+    r = Renderer(scene)
+    px, depth = r.render_batch(ms, 128, 96)
+    assert px.shape == (3, 96, 128)
+    for b in range(3):
+        single, _ = r.render(ms[b], 128, 96)
+        np.testing.assert_array_equal(np.asarray(px[b]), single)

@@ -1,0 +1,61 @@
+"""Differential test against the ACTUAL reference implementation: the reference
+C++ render core (compiled in place by tools/cpu_baseline) consumes this
+framework's data.bin and its pixel output is compared with the golden oracle.
+This is the strongest parity evidence available — the reference binary itself as
+the second implementation (SURVEY.md section 4)."""
+
+import json
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from swift3drenderer_tpu.camera import Camera, Input
+from swift3drenderer_tpu.golden import render_frame as golden_render
+from swift3drenderer_tpu.models import default_scene
+from swift3drenderer_tpu.renderer import Renderer
+from swift3drenderer_tpu.utils.databin import dump_scene
+from swift3drenderer_tpu.utils.ppm import pack_rgb_words, read_ppm
+
+from conftest import pixel_mismatch_fraction
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HARNESS_DIR = os.path.join(REPO, "tools", "cpu_baseline")
+REFERENCE = "/root/reference/render-cpp/render.cpp"
+
+
+@pytest.fixture(scope="module")
+def harness(tmp_path_factory):
+    if not os.path.exists(REFERENCE):
+        pytest.skip("reference sources not mounted")
+    build = subprocess.run([os.path.join(HARNESS_DIR, "build.sh")],
+                           capture_output=True, text=True)
+    if build.returncode != 0:
+        pytest.skip(f"reference harness does not build: {build.stderr[-200:]}")
+    rundir = tmp_path_factory.mktemp("refharness")
+    binpath = str(rundir / "cpu_baseline")
+    shutil.copy2(os.path.join(HARNESS_DIR, "build", "cpu_baseline"), binpath)
+    return rundir, binpath
+
+
+def test_reference_binary_matches_golden_and_device(harness):
+    rundir, binpath = harness
+    scene = default_scene(seed=0)
+    dump_scene(scene, str(rundir / "data.bin"))
+    dump = str(rundir / "out.ppm")
+    out = subprocess.run([binpath, "640", "480", "2", "--dump", dump],
+                         capture_output=True, text=True, check=True)
+    stats = json.loads(out.stdout)
+    assert stats["checksum"] > 0
+    ref_px = pack_rgb_words(read_ppm(dump))
+
+    m = Camera().update(Input(), force_update=True)
+    golden_px, _ = golden_render(scene, m, 640, 480)
+    frac_golden = pixel_mismatch_fraction(ref_px, golden_px, tol=1)
+    assert frac_golden < 0.002, f"golden vs reference binary: {frac_golden}"
+
+    device_px, _ = Renderer(scene).render(m, 640, 480)
+    frac_device = pixel_mismatch_fraction(ref_px, device_px, tol=1)
+    assert frac_device < 0.002, f"device vs reference binary: {frac_device}"
