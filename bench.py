@@ -26,6 +26,17 @@ def measure(scene_name: str, width: int, height: int, frames: int,
     import jax
     import jax.numpy as jnp
 
+    # Persist compiled executables across bench runs (first compile of a chained
+    # frame scan through a remote-compile attachment takes minutes).
+    import os
+    cache = os.path.expanduser("~/.cache/s3d_jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from swift3drenderer_tpu.camera import Camera, Input
     from swift3drenderer_tpu.config import DEFAULT_CONFIG
     from swift3drenderer_tpu.models import SCENES

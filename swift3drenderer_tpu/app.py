@@ -204,7 +204,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--frames", type=int, default=120)
     p.add_argument("--script", default="60:w;60:w mx2",
                    help="flight script, e.g. '60:w;30:w+mx2;30:s'")
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--backend", default="xla",
+                   choices=["xla", "pallas", "native"])
     p.add_argument("--out", default=None, help="directory for PPM frame dumps")
     p.add_argument("--out-every", type=int, default=30)
     p.add_argument("--checkpoint", default=None)

@@ -98,8 +98,8 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
 def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                    bilinear: bool = False):
     """Kernel factory: visibility + in-kernel shading and texture fetch per tile."""
-    assert tile_w == 128 and tile_h == 8, \
-        "in-kernel texel fetch assumes (8, 128) vreg-shaped tiles"
+    assert tile_w == 128 and tile_h in (8, 16, 32, 64), \
+        "in-kernel texel fetch assumes 128-lane tiles with pow2 sublane height"
 
     def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_hbm, atlas_ref,
                pix_ref, ooz_ref,
@@ -134,7 +134,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         # ---- phase 1: visibility ----
         def vis_body(i, carry):
             best, win = carry
-            s = ids_ref[i]
+            s = ids_ref[i >> 7, i & 127]
             w0, w1, w2 = weights(s)
             cover = (
                 (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
@@ -158,7 +158,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 
         def shade_body(i, carry):
             pix, shade, ar, ag, ab, tm = carry
-            s = ids_ref[i]
+            s = ids_ref[i >> 7, i & 127]
             mask = win == s
 
             w0, w1, w2 = weights(s)
@@ -257,13 +257,17 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             def row_body(y, acc):
                 def chunk_body(c, acc):
                     ar, ag, ab = acc
-                    # Dynamic sublane starts must be 8-aligned: load the
-                    # aligned (8, 128) block, broadcast row (y & 7).
+                    # Dynamic sublane starts must be 8-aligned and the
+                    # hardware sublane gather spans one vreg (8 rows): load the
+                    # aligned (8, 128) block containing atlas row y, broadcast
+                    # the row within it, then stack copies up to tile height.
                     yb = pl.multiple_of((y >> 3) * 8, 8)
                     block = atlas_ref[pl.ds(yb, 8),
                                       pl.ds(pl.multiple_of(c * 128, 128), 128)]
-                    rowsel = jnp.full((tile_h, tile_w), y & 7, jnp.int32)
+                    rowsel = jnp.full((8, tile_w), y & 7, jnp.int32)
                     rowb = jnp.take_along_axis(block, rowsel, axis=0)
+                    if tile_h > 8:
+                        rowb = jnp.concatenate([rowb] * (tile_h // 8), axis=0)
                     if not bilinear:
                         g = jnp.take_along_axis(rowb, ln0, axis=1)
                         sel = active & (ly0 == y) & (ch0 == c)
@@ -288,14 +292,14 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 return jax.lax.fori_loop(cmin, cmax + 1, chunk_body, acc)
 
             ar, ag, ab = jax.lax.fori_loop(rmin, rmax + 1, row_body, (ar, ag, ab))
-            tm = tm | active
+            tm = tm | active.astype(jnp.int32)
             return pix, shade, ar, ag, ab, tm
 
         zf = jnp.zeros((tile_h, tile_w), jnp.float32)
         pix, shade, ar, ag, ab, tm = jax.lax.fori_loop(
             0, n, shade_body,
             (jnp.full((tile_h, tile_w), jnp.int32(background)), zf,
-             zf, zf, zf, jnp.zeros((tile_h, tile_w), jnp.bool_)))
+             zf, zf, zf, jnp.zeros((tile_h, tile_w), jnp.int32)))
 
         # Shade-multiply fetched texels (render.swift:330) and merge.
         tex_pix = (
@@ -303,7 +307,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             | ((shade * ag).astype(jnp.int32) << 8)
             | (shade * ab).astype(jnp.int32)
         )
-        pix_ref[:] = jnp.where(tm, tex_pix, pix)
+        pix_ref[:] = jnp.where(tm != 0, tex_pix, pix)
         ooz_ref[:] = best
 
     return kernel
@@ -318,7 +322,7 @@ def rasterize_pallas(
     width: int,
     height: int,
     background: int,
-    tile_h: int = 8,
+    tile_h: int = 32,
     tile_w: int = 128,
     y_offset: jnp.ndarray | int = 0,
     interpret: bool = False,
@@ -329,9 +333,13 @@ def rasterize_pallas(
     ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
     ids, counts = bin_triangles(setup, width=width, height=height,
                                 tile_h=tile_h, tile_w=tile_w)
-    # HBM->SMEM DMA slices must be lane-aligned: pad each tile's id row to 128.
-    s_pad = _cdiv(s, 128) * 128
-    ids = jnp.pad(ids, ((0, 0), (0, s_pad - s)))
+    # HBM->SMEM DMA: pad each tile's id row to a 128-lane multiple and shape it
+    # (ntiles, k, 128) so the per-tile DMA slices a leading (untiled) dim —
+    # single-row slices of a lane-tiled 2D memref are rejected by Mosaic, and k
+    # itself must be sublane-aligned (multiple of 8) or the copy faults.
+    k = max(8, _cdiv(_cdiv(s, 128), 8) * 8)
+    s_pad = k * 128
+    ids = jnp.pad(ids, ((0, 0), (0, s_pad - s))).reshape(-1, k, 128)
     y0 = jnp.asarray(y_offset, jnp.int32).reshape(1, 1)
     trf, tri = pack_setup_tables(setup)
 
@@ -373,7 +381,8 @@ def rasterize_pallas(
         out_specs=[out_tile(), out_tile()],
         out_shape=[out_shape(jnp.int32), out_shape(jnp.float32)],
         scratch_shapes=[
-            pltpu.SMEM((s_pad,), jnp.int32),  # this tile's id list (lane-padded)
+            # this tile's id list, (k, 128) lane- and sublane-padded
+            pltpu.SMEM((k, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -390,7 +399,7 @@ def render_frame_pallas(
     width: int,
     height: int,
     config: RenderConfig = DEFAULT_CONFIG,
-    tile_h: int = 8,
+    tile_h: int = 32,
     tile_w: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

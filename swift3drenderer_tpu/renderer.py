@@ -90,7 +90,9 @@ class Renderer:
 
     Caches the compiled executable per (width, height); the scene is resident on
     device for the renderer's lifetime. ``backend`` selects the rasterizer:
-    'xla' (banded scan) or 'pallas' (tiled kernel, see ops/raster_pallas.py).
+    'xla' (banded scan), 'pallas' (tiled kernel, the perf path), or 'native'
+    (the C++ CPU core via ctypes — the analog of the reference swapping its
+    Swift core for the render.dylib one, reference main.swift:96-98).
     """
 
     def __init__(self, scene: Scene, config: RenderConfig = DEFAULT_CONFIG,
@@ -98,16 +100,26 @@ class Renderer:
         scene.validate()
         self.config = config
         self.backend = backend
-        self.dev = scene_to_device(scene)
+        if backend == "native":
+            from .native import NativeRenderer
+
+            self._native = NativeRenderer(scene, config=config)
+            self.dev = None
+        else:
+            self.dev = scene_to_device(scene)
 
     def render(self, camera_matrix: np.ndarray, width: int,
                height: int) -> Tuple[np.ndarray, np.ndarray]:
         """Render one frame; returns host (pixels (H, W) uint32, depth f32)."""
+        if self.backend == "native":
+            return self._native.render(camera_matrix, width, height)
         pixels, depth = self.render_device(camera_matrix, width, height)
         return np.asarray(pixels), np.asarray(depth)
 
     def render_device(self, camera_matrix, width: int, height: int):
         """Render, leaving results on device (for benchmarking / presentation)."""
+        if self.backend == "native":
+            raise ValueError("the native backend renders on host; use render()")
         m = jnp.asarray(camera_matrix, jnp.float32)
         if self.backend == "xla":
             return render_frame_xla(self.dev, m, width=width, height=height,

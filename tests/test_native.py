@@ -122,3 +122,15 @@ def test_native_perf_sanity():
     golden_render(scene, m, 640, 480)
     golden_t = time.perf_counter() - t0
     assert native_t < golden_t
+
+
+def test_renderer_native_backend():
+    from swift3drenderer_tpu.renderer import Renderer
+    scene = tetrahedron_scene(seed=0)
+    m = identity_camera()
+    r = Renderer(scene, backend="native")
+    px, d = r.render(m, 160, 120)
+    gp, _ = golden_render(scene, m, 160, 120)
+    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.002
+    with pytest.raises(ValueError, match="native backend renders on host"):
+        r.render_device(m, 160, 120)
