@@ -38,7 +38,9 @@ class FrameLoop:
 
     def __init__(self, scene: Scene, width: int = 960, height: int = 540,
                  config: RenderConfig = DEFAULT_CONFIG, backend: str = "xla",
-                 stats: Optional[FrameStats] = None) -> None:
+                 stats: Optional[FrameStats] = None,
+                 fallback_backend: Optional[str] = None) -> None:
+        self._scene = scene
         self.renderer = Renderer(scene, config=config, backend=backend)
         self.camera = Camera(config)
         self.keyboard = KeyboardState()
@@ -50,6 +52,12 @@ class FrameLoop:
         self._buffers: List[Optional[np.ndarray]] = [None, None]
         self._buffer_index = 0
         self._first = True
+        # Failure detection / elastic recovery (absent in the reference, which
+        # fatalError()s — SURVEY.md section 5): when a device render raises
+        # (e.g. the accelerator worker crashed or the tunnel dropped), rebuild
+        # on the fallback backend and keep the frame loop alive.
+        self.fallback_backend = fallback_backend
+        self.failed_over = False
 
     def resize(self, width: int, height: int) -> None:
         """Live resize (reference main.swift:156-165): new dimensions take effect
@@ -69,7 +77,18 @@ class FrameLoop:
         t0 = time.perf_counter()
         m = self.camera.update(inp, force_update=self._first)
         self._first = False
-        pixels, _ = self.renderer.render(m, self.width, self.height)
+        try:
+            pixels, _ = self.renderer.render(m, self.width, self.height)
+        except Exception as exc:  # noqa: BLE001 — device loss is not typed
+            if self.fallback_backend is None or self.failed_over:
+                raise
+            print(f"render backend '{self.renderer.backend}' failed "
+                  f"({type(exc).__name__}); falling back to "
+                  f"'{self.fallback_backend}'", file=sys.stderr)
+            self.renderer = Renderer(self._scene, config=self.renderer.config,
+                                     backend=self.fallback_backend)
+            self.failed_over = True
+            pixels, _ = self.renderer.render(m, self.width, self.height)
         # Double buffer: copy into the alternating host buffer.
         buf = self._buffers[self._buffer_index]
         if buf is None or buf.shape != pixels.shape:

@@ -313,22 +313,26 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
-                                   "tile_w", "interpret", "sampling"))
-def rasterize_pallas(
+# The SMEM-resident per-triangle tables bound one pass to ~2048 slots (1 MB
+# SMEM: 48-row f32 + 8-row i32 tables at 4 B/lane, plus counts and scratch).
+# Larger scenes render in multiple passes merged by depth below.
+MAX_SLOTS_PER_PASS = 2048
+
+
+def _rasterize_chunk(
     setup: Dict[str, jnp.ndarray],
     textures: jnp.ndarray,
     *,
     width: int,
     height: int,
     background: int,
-    tile_h: int = 32,
-    tile_w: int = 128,
-    y_offset: jnp.ndarray | int = 0,
-    interpret: bool = False,
-    sampling: str = "nearest",
+    tile_h: int,
+    tile_w: int,
+    y_offset,
+    interpret: bool,
+    sampling: str,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full rasterize + shade; returns (pixels (H, W) uint32, depth (H, W) f32)."""
+    """One kernel pass over <= MAX_SLOTS_PER_PASS setup slots."""
     s = setup["live"].shape[0]
     ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
     ids, counts = bin_triangles(setup, width=width, height=height,
@@ -388,6 +392,47 @@ def rasterize_pallas(
         interpret=interpret,
     )(counts.T, trf, tri, y0, ids, atlas)
     return pix[:height, :width].astype(jnp.uint32), ooz[:height, :width]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
+                                   "tile_w", "interpret", "sampling"))
+def rasterize_pallas(
+    setup: Dict[str, jnp.ndarray],
+    textures: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    background: int,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    y_offset: jnp.ndarray | int = 0,
+    interpret: bool = False,
+    sampling: str = "nearest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full rasterize + shade; returns (pixels (H, W) uint32, depth (H, W) f32).
+
+    Scenes beyond MAX_SLOTS_PER_PASS render in multiple kernel passes merged by
+    depth: passes cover ascending slot ranges and a later pass only wins a pixel
+    on strictly greater 1/z, which preserves the reference's earlier-triangle
+    depth-tie order across the split (render.swift:324).
+    """
+    s = setup["live"].shape[0]
+    kw = dict(width=width, height=height, background=background, tile_h=tile_h,
+              tile_w=tile_w, y_offset=y_offset, interpret=interpret,
+              sampling=sampling)
+    if s <= MAX_SLOTS_PER_PASS:
+        return _rasterize_chunk(setup, textures, **kw)
+    pix = ooz = None
+    for c0 in range(0, s, MAX_SLOTS_PER_PASS):
+        sub = {key: v[c0: c0 + MAX_SLOTS_PER_PASS] for key, v in setup.items()}
+        p, o = _rasterize_chunk(sub, textures, **kw)
+        if pix is None:
+            pix, ooz = p, o
+        else:
+            upd = o > ooz
+            pix = jnp.where(upd, p, pix)
+            ooz = jnp.where(upd, o, ooz)
+    return pix, ooz
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config", "tile_h",

@@ -107,3 +107,23 @@ def test_datagen_atlas_cli(tmp_path):
     atlas = read_ppm(out)
     assert atlas.shape == (512, 512, 3)
     assert np.all(atlas[0, 0] == 77)
+
+
+def test_elastic_fallback_to_native_backend(monkeypatch):
+    # Failure detection / recovery: a dying device backend fails over to the
+    # configured fallback and the frame loop keeps producing frames.
+    from swift3drenderer_tpu.renderer import Renderer
+    loop = FrameLoop(tetrahedron_scene(seed=0), 64, 48,
+                     fallback_backend="native")
+    ok = loop.step()
+
+    def boom(*a, **k):
+        raise RuntimeError("TPU worker process crashed or restarted")
+
+    monkeypatch.setattr(loop.renderer, "render", boom)
+    px = loop.step()
+    assert loop.failed_over and loop.renderer.backend == "native"
+    assert px.shape == ok.shape
+    assert (px == ok).mean() > 0.99  # same frame content from the fallback
+    loop.step()  # keeps running on the fallback
+    assert loop.frame_index == 3

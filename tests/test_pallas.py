@@ -90,3 +90,15 @@ def test_pallas_non_tile_aligned_resolution():
     px_x, _ = Renderer(scene, backend="xla").render(m, 123, 97)
     px_p, _ = Renderer(scene, backend="pallas").render(m, 123, 97)
     assert pixel_mismatch_fraction(px_p, px_x, tol=1) < 1e-3
+
+
+def test_pallas_multi_pass_large_scene():
+    # Scenes beyond MAX_SLOTS_PER_PASS render in depth-merged passes.
+    from swift3drenderer_tpu.models import stress_scene
+    from swift3drenderer_tpu.ops.raster_pallas import MAX_SLOTS_PER_PASS
+    scene = stress_scene(seed=0, objects=128)
+    assert 2 * scene.num_triangles > MAX_SLOTS_PER_PASS  # forces >= 2 passes
+    m = identity_camera()
+    gp, _ = golden_render(scene, m, 160, 120)
+    px, _ = Renderer(scene, backend="pallas").render(m, 160, 120)
+    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004
