@@ -403,7 +403,7 @@ def rasterize_pallas(
     width: int,
     height: int,
     background: int,
-    tile_h: int = 32,
+    tile_h: int = 64,
     tile_w: int = 128,
     y_offset: jnp.ndarray | int = 0,
     interpret: bool = False,
@@ -444,7 +444,7 @@ def render_frame_pallas(
     width: int,
     height: int,
     config: RenderConfig = DEFAULT_CONFIG,
-    tile_h: int = 32,
+    tile_h: int = 64,
     tile_w: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
