@@ -158,6 +158,105 @@ def scripted_inputs(script: str, frames: int) -> Iterable[Input]:
         emitted += 1
 
 
+class TerminalInput:
+    """Maps raw terminal bytes to input events — the live-input analog of the
+    reference's GameController callbacks (input.swift:30-59) for headless hosts.
+
+    Keys: w/a/s/d move (hold is emulated by key-repeat decay), SHIFT+wasd = 2x,
+    arrow keys = mouse look, 'c' toggles mouse capture, 'q'/ESC quits.
+    """
+
+    ARROW = {b"A": (0.0, -15.0), b"B": (0.0, 15.0), b"C": (15.0, 0.0),
+             b"D": (-15.0, 0.0)}  # up/down/right/left
+    HOLD_FRAMES = 12  # keep a key "down" this many frames after its last press
+
+    def __init__(self, keyboard: Optional[KeyboardState] = None) -> None:
+        self.keyboard = keyboard or KeyboardState()
+        self._held: dict = {}
+        self._esc = b""
+
+    def feed(self, data: bytes) -> None:
+        """Consume raw bytes read from the terminal (cbreak mode)."""
+        for i in range(len(data)):
+            b = data[i:i + 1]
+            if self._esc:
+                self._esc += b
+                if self._esc in (b"\x1b[",):
+                    continue
+                if len(self._esc) >= 3 and self._esc[1:2] == b"[":
+                    dx, dy = self.ARROW.get(self._esc[2:3], (0.0, 0.0))
+                    if not self.keyboard.mouse_captured:
+                        self.keyboard.toggle_capture()
+                    self.keyboard.mouse_delta(dx, dy)
+                else:
+                    self.keyboard.quit_requested = True  # bare ESC
+                self._esc = b""
+                continue
+            if b == b"\x1b":
+                self._esc = b
+                continue
+            ch = b.decode("latin1")
+            if ch in "qQ":
+                self.keyboard.quit_requested = True
+            elif ch == "c":
+                self.keyboard.toggle_capture()
+            elif ch.lower() in "wasd":
+                self._held[ch.lower()] = self.HOLD_FRAMES
+                if ch.isupper():
+                    self._held["shift"] = self.HOLD_FRAMES
+
+    def tick(self) -> None:
+        """Advance one frame: expire held keys and sync the KeyboardState."""
+        for key in list(self._held):
+            self._held[key] -= 1
+            if self._held[key] <= 0:
+                del self._held[key]
+        for key in ("w", "a", "s", "d", "shift"):
+            if key in self._held:
+                self.keyboard.key_event(key, True)
+            else:
+                self.keyboard.key_event(key, False)
+
+
+def run_interactive(scene: Scene, *, width: int, height: int,
+                    backend: str = "xla",
+                    config: RenderConfig = DEFAULT_CONFIG,
+                    max_frames: int = 0, columns: int = 100) -> int:
+    """Live terminal session: cbreak stdin -> TerminalInput -> frame loop ->
+    ANSI half-block frames. Returns the number of frames rendered."""
+    import select
+    import termios
+    import tty
+
+    loop = FrameLoop(scene, width, height, config=config, backend=backend,
+                     stats=FrameStats(printer=None))
+    term = TerminalInput(loop.keyboard)
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    frames = 0
+    try:
+        tty.setcbreak(fd)
+        sys.stdout.write("\x1b[?25l")  # hide cursor
+        while not term.keyboard.quit_requested:
+            while select.select([fd], [], [], 0)[0]:
+                data = os.read(fd, 64)
+                if not data:
+                    break
+                term.feed(data)
+            term.tick()
+            pixels = loop.step()
+            sys.stdout.write("\x1b[H" + ansi_frame(pixels, columns=columns)
+                             + "\n[wasd move, SHIFT 2x, arrows look, q quit]\n")
+            sys.stdout.flush()
+            frames += 1
+            if max_frames and frames >= max_frames:
+                break
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        sys.stdout.write("\x1b[?25h")
+    return frames
+
+
 def ansi_frame(pixels: np.ndarray, columns: int = 100) -> str:
     """Render a pixel buffer as 24-bit ANSI half-block characters (2 pixels per
     character cell vertically) for terminal presentation."""
@@ -230,12 +329,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--terminal", action="store_true",
                    help="present frames as ANSI half-blocks in the terminal")
+    p.add_argument("--interactive", action="store_true",
+                   help="live terminal session: wasd move, arrows look, q quit")
     args = p.parse_args(argv)
 
     if os.path.exists(args.scene):
         scene = load_scene(args.scene)
     else:
         scene = SCENES[args.scene](seed=args.seed)
+    if args.interactive:
+        run_interactive(scene, width=args.width, height=args.height,
+                        backend=args.backend, max_frames=args.frames)
+        return 0
     pixels, stats = run_headless(
         scene, width=args.width, height=args.height, frames=args.frames,
         script=args.script, backend=args.backend, out_dir=args.out,

@@ -127,3 +127,30 @@ def test_elastic_fallback_to_native_backend(monkeypatch):
     assert (px == ok).mean() > 0.99  # same frame content from the fallback
     loop.step()  # keeps running on the fallback
     assert loop.frame_index == 3
+
+
+def test_terminal_input_parser():
+    from swift3drenderer_tpu.app import TerminalInput
+    from swift3drenderer_tpu.camera import Input, KeyboardState
+    term = TerminalInput(KeyboardState())
+    term.feed(b"w")
+    term.tick()
+    inp = term.keyboard.update_input(Input())
+    assert inp.up == 1.0
+    # SHIFT+key doubles speed.
+    term.feed(b"D")
+    term.tick()
+    inp = term.keyboard.update_input(Input())
+    assert inp.right == 2.0 and inp.up == 2.0  # w still held, shift applies
+    # Arrow key = mouse look (auto-captures).
+    term.feed(b"\x1b[C")
+    inp = term.keyboard.update_input(Input())
+    assert term.keyboard.mouse_captured and inp.mouse[0] == 15.0
+    # Keys decay after HOLD_FRAMES ticks.
+    for _ in range(term.HOLD_FRAMES + 1):
+        term.tick()
+    inp = term.keyboard.update_input(Input())
+    assert inp.up == 0.0 and inp.right == 0.0
+    # Bare ESC and q request quit.
+    term.feed(b"q")
+    assert term.keyboard.quit_requested
