@@ -87,10 +87,15 @@ def measure(scene_name: str, width: int, height: int, frames: int,
 
     # Subtract the fixed dispatch/roundtrip cost of an identical empty chain so
     # the figure is pure render time (on tunneled attachments the roundtrip is
-    # ~30 ms and would otherwise smear ~30/frames ms into every frame).
+    # ~30 ms and would otherwise smear ~30/frames ms into every frame). Tiny
+    # workloads can disappear below the dispatch noise floor; floor the figure
+    # there instead of reporting fantasy fps.
     overhead = timed(empty_chain, mats)
-    best = max(timed(render_chain, dev, mats, width, height) - overhead, 1e-9)
+    raw = timed(render_chain, dev, mats, width, height)
+    floor_s = 50e-6
+    best = max(raw - overhead, floor_s)
     return dict(frame_ms=best * 1e3, fps=1.0 / best,
+                overhead_bound=(raw - overhead) < floor_s,
                 tris=scene.num_triangles, pixels=width * height)
 
 
@@ -115,8 +120,9 @@ def main() -> None:
                            ("anisotropic", 1920, 1080), ("clipping", 1920, 1080),
                            ("default", 3840, 2160)]:
             r = measure(name, w, h, args.frames, args.backend)
+            note = "  (overhead-bound)" if r.get("overhead_bound") else ""
             print(f"{name:14s} {w}x{h}: {r['frame_ms']:8.2f} ms  "
-                  f"{r['fps']:8.1f} fps  ({r['tris']} tris)")
+                  f"{r['fps']:8.1f} fps  ({r['tris']} tris){note}")
         return
 
     r = measure(args.scene, args.width, args.height, args.frames, args.backend)

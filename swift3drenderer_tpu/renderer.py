@@ -134,9 +134,13 @@ class Renderer:
         raise ValueError(f"unknown backend {self.backend!r}")
 
     def render_batch(self, matrices: np.ndarray, width: int, height: int):
-        """Render a batch of camera poses on one chip (vmapped — the serving
-        path; for multi-chip batches see parallel.sharding.ShardedRenderer).
-        Returns device arrays (B, H, W) pixels and depth."""
+        """Render a batch of camera poses on one chip — the serving path (for
+        multi-chip batches see parallel.sharding.ShardedRenderer). Returns
+        device arrays (B, H, W) pixels and depth.
+
+        The XLA backend vmaps; the Pallas backend maps sequentially — a single
+        frame already saturates the chip, and jax cannot batch through a
+        compiled pallas_call."""
         ms = jnp.asarray(matrices, jnp.float32)
         if self.backend == "pallas":
             from .ops.raster_pallas import render_frame_pallas
@@ -144,7 +148,7 @@ class Renderer:
             interpret = jax.default_backend() not in ("tpu", "axon")
             fn = partial(render_frame_pallas, self.dev, width=width,
                          height=height, config=self.config, interpret=interpret)
-        else:
-            fn = partial(render_frame_xla, self.dev, width=width, height=height,
-                         config=self.config)
+            return jax.lax.map(fn, ms)
+        fn = partial(render_frame_xla, self.dev, width=width, height=height,
+                     config=self.config)
         return jax.vmap(fn)(ms)

@@ -102,3 +102,14 @@ def test_pallas_multi_pass_large_scene():
     gp, _ = golden_render(scene, m, 160, 120)
     px, _ = Renderer(scene, backend="pallas").render(m, 160, 120)
     assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004
+
+
+def test_pallas_render_batch():
+    scene = tetrahedron_scene(seed=0)
+    m = identity_camera()
+    ms = np.stack([m, m])
+    r = Renderer(scene, backend="pallas")
+    px, d = r.render_batch(ms, 128, 96)
+    assert px.shape == (2, 96, 128)
+    single, _ = r.render(m, 128, 96)
+    np.testing.assert_array_equal(np.asarray(px[0]), single)
