@@ -13,10 +13,13 @@ Two in-kernel phases per tile:
    strict compare + ascending slot ids preserve earlier-triangle-wins ties).
 2. **Shading** — a second pass over the same binned list, masked to each slot's
    winning pixels: perspective-correct weights, halfway-vector headlight
-   (render.swift:326-331). Flat-color pixels are fully shaded and packed in-kernel;
-   textured pixels get their anisotropic ripmap *address* computed in-kernel
-   (integer math, render.swift:94-111) — the actual texel fetch stays outside as a
-   single flat XLA gather, which Mosaic does not do well in-kernel.
+   (render.swift:326-331), flat-color packing, and the ripmap texel fetch — all
+   in-kernel. The fetch exploits the level selection's ~1 texel/pixel property:
+   loop the few touched atlas rows, broadcast each via a sublane gather, resolve
+   columns with a hardware lane gather (XLA-level gathers scalarize at ~7.5
+   ns/texel; this path is ~6x faster end to end). See docs/KERNEL.md.
+   (A double-buffered prefetch of the next tile's id list was tried and measured
+   performance-neutral — the per-tile DMA is not on the critical path.)
 
 Memory layout notes (all learned the hard way against the 1 MB SMEM budget):
 per-triangle constants are packed **transposed** as (row, slot) with the slot index

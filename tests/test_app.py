@@ -154,3 +154,18 @@ def test_terminal_input_parser():
     # Bare ESC and q request quit.
     term.feed(b"q")
     assert term.keyboard.quit_requested
+
+
+def test_per_frame_resize_cycling():
+    # BASELINE config 5 exercises a per-frame resizable framebuffer: cycle
+    # resolutions every frame; executables are cached per size so revisiting a
+    # size is cheap, and frames stay correct after each switch.
+    from swift3drenderer_tpu.config import DEFAULT_CONFIG
+    sizes = [(64, 48), (96, 72), (80, 60)]
+    loop = FrameLoop(tetrahedron_scene(seed=0), *sizes[0])
+    for i in range(9):
+        w, h = sizes[i % 3]
+        loop.resize(w, h)
+        px = loop.step()
+        assert px.shape == (h, w)
+        assert (px != DEFAULT_CONFIG.background_packed).any()
