@@ -59,3 +59,68 @@ def test_reference_binary_matches_golden_and_device(harness):
     device_px, _ = Renderer(scene).render(m, 640, 480)
     frac_device = pixel_mismatch_fraction(ref_px, device_px, tol=1)
     assert frac_device < 0.002, f"device vs reference binary: {frac_device}"
+
+
+REF_PPMS = "/root/reference/data-generator/ppms"
+
+
+def test_reference_textures_roundtrip(harness):
+    # Use the reference's ACTUAL ripmap atlases (its shipped PPM assets) as the
+    # scene textures: reference binary, golden oracle, and device renderer must
+    # all agree on the real artwork data, not just procedural textures.
+    if not os.path.isdir(REF_PPMS):
+        pytest.skip("reference ppms not mounted")
+    from swift3drenderer_tpu.utils.ppm import pack_rgb_words, read_ppm
+    import numpy as _np
+
+    atlases = []
+    for name in sorted(os.listdir(REF_PPMS)):
+        img = read_ppm(os.path.join(REF_PPMS, name))
+        assert img.shape == (512, 512, 3)
+        atlases.append(pack_rgb_words(img))
+    textures = _np.stack(atlases).astype(_np.uint32)
+
+    scene = default_scene(seed=0, textures=textures)
+    rundir, binpath = harness
+    sub = rundir / "reftex"
+    os.makedirs(sub, exist_ok=True)
+    shutil.copy2(binpath, str(sub / "cpu_baseline"))
+    dump_scene(scene, str(sub / "data.bin"))
+    dump = str(sub / "out.ppm")
+    subprocess.run([str(sub / "cpu_baseline"), "640", "480", "2",
+                    "--dump", dump], capture_output=True, check=True)
+    ref_px = pack_rgb_words(read_ppm(dump))
+
+    # The painting atlases are high-frequency: one-texel addressing differences
+    # (the reference's incremental weight accumulation vs our closed form, fp
+    # rounding in mapping/level) swing whole texel colors, so the acceptable
+    # mismatch fraction is higher than with smooth procedural textures (~0.45%
+    # of pixels, all on sampling-decision boundaries).
+    m = Camera().update(Input(), force_update=True)
+    golden_px, _ = golden_render(scene, m, 640, 480)
+    assert pixel_mismatch_fraction(ref_px, golden_px, tol=1) < 0.01
+    device_px, _ = Renderer(scene).render(m, 640, 480)
+    assert pixel_mismatch_fraction(ref_px, device_px, tol=1) < 0.01
+
+
+def test_reference_binary_fly_through_parity(harness):
+    # Replicate the harness's --fly input sequence (up=2, mouse.x += 1 per
+    # frame) in the Python camera and compare the final frames: validates the
+    # camera state machine against the reference's across accumulated updates.
+    rundir, binpath = harness
+    frames = 5
+    out = subprocess.run(
+        [binpath, "320", "240", str(frames), "--fly",
+         "--dump", str(rundir / "fly.ppm")],
+        capture_output=True, text=True, check=True)
+    assert json.loads(out.stdout)["checksum"] > 0
+    from swift3drenderer_tpu.utils.ppm import pack_rgb_words, read_ppm
+    ref_px = pack_rgb_words(read_ppm(str(rundir / "fly.ppm")))
+
+    scene = default_scene(seed=0)
+    cam = Camera()
+    cam.update(Input(), force_update=True)  # the harness's warmup frame
+    for i in range(frames):
+        m = cam.update(Input(up=2.0, mouse=(float(i + 1), 0.0)))
+    golden_px, _ = golden_render(scene, m, 320, 240)
+    assert pixel_mismatch_fraction(ref_px, golden_px, tol=2) < 0.005
