@@ -451,10 +451,20 @@ def render_frame_pallas(
     tile_w: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full frame: geometry front-end + Pallas visibility/shading + texture gather."""
+    """Full frame: geometry front-end + Pallas visibility/shading + texel fetch.
+
+    Scenes whose texture set exceeds the kernel's VMEM atlas budget fall back to
+    the XLA rasterizer (slower but unbounded — its texel fetch is an HBM gather).
+    """
     from ..renderer import build_setup
+    from .raster_xla import rasterize
 
     setup = build_setup(dev, m, width=width, height=height, config=config)
+    if dev["textures"].shape[0] * 512 * 512 * 4 > 12 * 1024 * 1024:
+        return rasterize(
+            setup, dev["textures"], width=width, height=height,
+            background=config.background_packed, sampling=config.sampling,
+        )
     return rasterize_pallas(
         setup, dev["textures"], width=width, height=height,
         background=config.background_packed, tile_h=tile_h, tile_w=tile_w,

@@ -11,6 +11,7 @@ from swift3drenderer_tpu.golden import render_frame as golden_render
 from swift3drenderer_tpu.models import (
     clipping_scene,
     default_scene,
+    icosahedron_scene,
     tetrahedron_scene,
 )
 from swift3drenderer_tpu.ops.raster_pallas import bin_triangles
@@ -113,3 +114,18 @@ def test_pallas_render_batch():
     assert px.shape == (2, 96, 128)
     single, _ = r.render(m, 128, 96)
     np.testing.assert_array_equal(np.asarray(px[0]), single)
+
+
+def test_pallas_many_textures_falls_back():
+    # Scenes whose textures exceed the kernel's VMEM atlas budget render via
+    # the XLA fallback path transparently.
+    import dataclasses
+    from swift3drenderer_tpu.models.textures import default_texture_words
+    scene = icosahedron_scene(seed=0)
+    big = dataclasses.replace(scene, textures=np.concatenate(
+        [default_texture_words(2)] * 7))  # 14 textures > 12 MB budget
+    big.validate()
+    m = identity_camera()
+    gp, _ = golden_render(big, m, 128, 96)
+    px, _ = Renderer(big, backend="pallas").render(m, 128, 96)
+    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.003
