@@ -87,6 +87,8 @@ class Scene:
         triangles (render/render.swift:196,317); we reject such scenes up front.
         """
         ni = self.vertex_indices.shape[0]
+        if ni == 0:
+            raise ValueError("scene has no triangles")
         if ni % 3 != 0:
             raise ValueError(f"vertex index count {ni} is not a multiple of 3")
         if self.attribute_indices.shape[0] != ni:

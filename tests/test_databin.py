@@ -109,3 +109,18 @@ def test_validate_rejects_bad_index():
     s.vertex_indices[0] = 999
     with pytest.raises(ValueError, match="vertex index out of range"):
         s.validate()
+
+
+def test_validate_rejects_empty_scene():
+    import numpy as np
+    s = Scene(
+        vertices=np.zeros((0, 4), np.float32),
+        vertex_indices=np.zeros((0,), np.int64),
+        normals=np.zeros((0, 4), np.float32),
+        attr_vec=np.zeros((0, 3), np.float32),
+        attr_tex=np.zeros((0,), np.int64),
+        attribute_indices=np.zeros((0,), np.int64),
+        textures=np.zeros((0, 512, 512), np.uint32),
+    )
+    with pytest.raises(ValueError, match="no triangles"):
+        s.validate()
