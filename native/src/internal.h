@@ -3,6 +3,7 @@
 #define S3D_INTERNAL_H
 
 #include <cstdint>
+#include <functional>
 #include <vector>
 
 #include "../include/s3d_native.h"

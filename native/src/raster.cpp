@@ -18,11 +18,37 @@
  * creation order — render.swift:260) for depth-tie behavior.
  */
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "internal.h"
+
+/* Row-band parallelism: fn(y_begin, y_end) over [0, height) split across the
+ * host cores. Bands are disjoint rows, so the visibility resolve (per-pixel
+ * depth test) and the deferred shade are race-free and bit-identical to the
+ * serial order — unlike the reference, which is single-threaded by design
+ * (reference README.md:31). Small frames stay serial. */
+static void parallel_rows(int height, int min_rows_per_thread,
+                          const std::function<void(int, int)> &fn) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = (int)std::min<unsigned>(hw ? hw : 1, 16);
+    nthreads = std::min(nthreads, std::max(1, height / min_rows_per_thread));
+    if (nthreads <= 1) {
+        fn(0, height);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int per = (height + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        int y0 = t * per, y1 = std::min(height, y0 + per);
+        if (y0 >= y1) break;
+        pool.emplace_back(fn, y0, y1);
+    }
+    for (auto &th : pool) th.join();
+}
 
 namespace {
 
@@ -262,10 +288,13 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
     r->winner.assign((size_t)W * H, -1);
     int32_t *win = r->winner.data();
 
+    parallel_rows(H, 64, [&](int band_y0, int band_y1) {
     for (size_t sidx = 0; sidx < r->slots.size(); sidx++) {
         const Slot &sl = r->slots[sidx];
         if (!sl.live) continue;
-        for (int y = sl.ymin; y <= sl.ymax; y++) {
+        int y_lo = std::max(sl.ymin, band_y0);
+        int y_hi = std::min(sl.ymax, band_y1 - 1);
+        for (int y = y_lo; y <= y_hi; y++) {
             float fy = (float)y;
             float wr0 = sl.w00[0] + fy * sl.dy[0];
             float wr1 = sl.w00[1] + fy * sl.dy[1];
@@ -287,9 +316,11 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
             }
         }
     }
+    });
 
     /* Deferred shading (render.swift:326-331 + texture path :312-316). */
-    for (int64_t p = 0; p < (int64_t)W * H; p++) {
+    parallel_rows(H, 32, [&](int band_y0, int band_y1) {
+    for (int64_t p = (int64_t)band_y0 * W; p < (int64_t)band_y1 * W; p++) {
         int32_t sidx = win[p];
         if (sidx < 0) {
             fb->pixels[p] = config->background;
@@ -324,4 +355,5 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
         uint32_t bb = (uint32_t)(shade * color.z);
         fb->pixels[p] = (rr << 16) | (gg << 8) | bb;
     }
+    });
 }
