@@ -16,7 +16,7 @@ import json
 import os
 import sys
 import time
-from typing import Callable, Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 

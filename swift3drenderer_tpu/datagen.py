@@ -18,7 +18,7 @@ import numpy as np
 
 from .models import SCENES
 from .utils.databin import dump_scene
-from .utils.ppm import pack_rgb_words, read_ppm, unpack_rgb_words, write_ppm
+from .utils.ppm import pack_rgb_words, read_ppm, write_ppm
 from .utils.ripmap import build_ripmap_atlas
 
 

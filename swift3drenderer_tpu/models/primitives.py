@@ -12,7 +12,7 @@ deterministic, which the golden-frame tests depend on.
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

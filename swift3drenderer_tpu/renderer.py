@@ -15,7 +15,7 @@ camera matrix crosses host->device and the pixel/depth buffers cross back.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
