@@ -334,7 +334,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = p.parse_args(argv)
 
     if os.path.exists(args.scene):
-        scene = load_scene(args.scene)
+        if args.scene.lower().endswith(".obj"):
+            from .utils.objio import load_obj
+            scene = load_obj(args.scene, offset=(0.0, 0.0, -8.0))
+        else:
+            scene = load_scene(args.scene)
     else:
         scene = SCENES[args.scene](seed=args.seed)
     if args.interactive:

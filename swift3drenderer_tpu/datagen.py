@@ -30,6 +30,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--atlas", default=None, metavar="BASE_PPM",
                    help="instead of a scene, build a 512x512 ripmap atlas PPM "
                         "from a base image")
+    p.add_argument("--obj", default=None, metavar="MESH_OBJ",
+                   help="instead of a built-in scene, convert a Wavefront OBJ "
+                        "mesh to data.bin")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--offset", type=float, nargs=3, default=(0.0, 0.0, -8.0))
     p.add_argument("--texture-ppm", action="append", default=[],
                    metavar="ATLAS_PPM",
                    help="use these 512x512 atlas PPMs as the scene textures "
@@ -40,6 +45,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         atlas = build_ripmap_atlas(read_ppm(args.atlas))
         write_ppm(args.out, atlas)
         print(f"wrote ripmap atlas {args.out}")
+        return 0
+
+    if args.obj:
+        from .utils.objio import load_obj
+        scene = load_obj(args.obj, scale=args.scale, offset=tuple(args.offset))
+        data = dump_scene(scene, args.out)
+        print(f"wrote {args.out}: {len(data)} bytes, {scene.num_triangles} "
+              f"triangles from {args.obj}")
         return 0
 
     textures = None
