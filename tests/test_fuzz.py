@@ -52,3 +52,15 @@ def test_fuzz_golden_vs_native(trial):
     px, _ = native.NativeRenderer(scene).render(m, 200, 152)
     frac = pixel_mismatch_fraction(gp, px, tol=1)
     assert frac < 0.005, (name, frac)
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_fuzz_golden_vs_pallas(trial):
+    rng = np.random.default_rng(3000 + trial)
+    name = list(SCENES)[int(rng.integers(0, len(SCENES)))]
+    scene = SCENES[name](seed=int(rng.integers(0, 100)))
+    m = random_pose(rng)
+    gp, _ = golden_render(scene, m, 160, 96)
+    px, _ = Renderer(scene, backend="pallas").render(m, 160, 96)
+    frac = pixel_mismatch_fraction(gp, px, tol=1)
+    assert frac < 0.005, (name, frac)
