@@ -1,0 +1,40 @@
+"""Capture a scripted camera flight to PPM frames + a final PNG.
+
+Usage:
+    python examples/capture_flight.py [scene] [backend]
+
+Scenes: any of swift3drenderer_tpu.models.SCENES, a data.bin path, or an OBJ.
+Backends: xla (default; portable), pallas (fastest on TPU), native (C++ CPU).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from swift3drenderer_tpu.app import run_headless
+from swift3drenderer_tpu.models import SCENES
+from swift3drenderer_tpu.utils.databin import load_scene
+from swift3drenderer_tpu.utils.objio import load_obj
+from swift3drenderer_tpu.utils.ppm import unpack_rgb_words, write_ppm
+
+
+def main() -> None:
+    name = sys.argv[1] if len(sys.argv) > 1 else "default"
+    backend = sys.argv[2] if len(sys.argv) > 2 else "xla"
+    if name.endswith(".obj"):
+        scene = load_obj(name, offset=(0, 0, -8))
+    elif os.path.exists(name):
+        scene = load_scene(name)
+    else:
+        scene = SCENES[name](seed=0)
+    pixels, stats = run_headless(
+        scene, width=640, height=400, frames=90,
+        script="30:w;30:w mx2;30:s mx-2", backend=backend,
+        out_dir="flight_frames", out_every=15)
+    write_ppm("flight_final.ppm", unpack_rgb_words(pixels))
+    print("wrote flight_frames/ and flight_final.ppm")
+
+
+if __name__ == "__main__":
+    main()
