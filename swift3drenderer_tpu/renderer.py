@@ -15,7 +15,7 @@ camera matrix crosses host->device and the pixel/depth buffers cross back.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +132,29 @@ class Renderer:
             return render_frame_pallas(self.dev, m, width=width, height=height,
                                        config=self.config, interpret=interpret)
         raise ValueError(f"unknown backend {self.backend!r}")
+
+    def update_scene(self, vertices: Optional[np.ndarray] = None,
+                     normals: Optional[np.ndarray] = None,
+                     attr_vec: Optional[np.ndarray] = None) -> None:
+        """Animate the scene: swap per-vertex/attribute data in place.
+
+        Shapes must match the bound scene (everything stays statically shaped,
+        so no recompilation happens — the next render just reads the new
+        arrays). Topology (indices, texture set) is fixed per Renderer; build a
+        new Renderer to change it. The reference has no animation at all (its
+        scene is immutable after data.bin load, render.swift:137-175).
+        """
+        if self.backend == "native":
+            raise ValueError("scene animation requires a device backend")
+        for name, arr in (("vertices", vertices), ("normals", normals),
+                          ("attr_vec", attr_vec)):
+            if arr is None:
+                continue
+            arr = np.asarray(arr, np.float32)
+            if arr.shape != self.dev[name].shape:
+                raise ValueError(
+                    f"{name} shape {arr.shape} != bound {self.dev[name].shape}")
+            self.dev[name] = jnp.asarray(arr)
 
     def render_batch(self, matrices: np.ndarray, width: int, height: int):
         """Render a batch of camera poses on one chip — the serving path (for

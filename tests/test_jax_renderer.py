@@ -111,3 +111,22 @@ def test_single_device_camera_batch():
     for b in range(3):
         single, _ = r.render(ms[b], 128, 96)
         np.testing.assert_array_equal(np.asarray(px[b]), single)
+
+
+def test_scene_animation_update():
+    # update_scene swaps geometry without recompilation (same shapes).
+    scene = tetrahedron_scene(seed=0)
+    r = Renderer(scene)
+    m = identity_camera()
+    before, _ = r.render(m, 128, 96)
+    moved = scene.vertices.copy()
+    moved[:, 0] += 2.0  # slide the tetrahedron right
+    r.update_scene(vertices=moved)
+    after, _ = r.render(m, 128, 96)
+    assert not np.array_equal(before, after)
+    # Equivalent to building a fresh renderer on the moved scene.
+    import dataclasses
+    fresh, _ = Renderer(dataclasses.replace(scene, vertices=moved)).render(m, 128, 96)
+    np.testing.assert_array_equal(after, fresh)
+    with pytest.raises(ValueError, match="shape"):
+        r.update_scene(vertices=moved[:2])
