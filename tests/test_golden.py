@@ -140,3 +140,57 @@ def test_backface_and_small_area_culled():
     # must be pure background.
     pixels, _ = render_frame(scene, m, 2, 2)
     assert np.all(pixels == DEFAULT_CONFIG.background_packed)
+
+
+def test_clip_prepass_matches_golden_on_random_triangles():
+    # Property test of the subtlest stage: the vectorized fixed-shape clip
+    # prepass must reproduce golden clip_near over random straddling triangles
+    # (all three cases: 0/1/2 vertices in front).
+    import jax.numpy as jnp
+    from swift3drenderer_tpu.ops.clip import clip_prepass
+
+    rng = np.random.default_rng(42)
+    cfg = DEFAULT_CONFIG
+    factor = f32(cfg.factor(480))
+    near = f32(cfg.near)
+    n_cases = {0: 0, 1: 0, 2: 0, 3: 0}
+    for trial in range(400):
+        cv = rng.uniform(-3, 3, size=(3, 3)).astype(f32)
+        # depth = -z in [-0.3, 1]: straddles the near plane (0.1) often and
+        # produces a healthy share of fully-behind triangles too
+        cv[:, 2] = rng.uniform(-1, 0.3, size=3)
+        rv = project(cv, factor, f32(320), f32(240))
+        attr = rng.uniform(0, 255, size=(3, 3)).astype(f32)
+        nrm = rng.standard_normal((3, 3)).astype(f32)
+        job = TriJob(cv=cv, rv=rv, attr=attr, n=nrm, tex=-1)
+        nfront = int((rv[:, 2] > near).sum())
+        n_cases[nfront] += 1
+
+        out = clip_prepass(
+            jnp.asarray(cv[None]), jnp.asarray(rv[None]), jnp.asarray(attr[None]),
+            jnp.asarray(nrm[None]), jnp.asarray(np.array([-1])),
+            float(near), float(factor), 320.0, 240.0)
+        valid = np.asarray(out["valid"])
+        if nfront == 0:
+            assert not valid.any(), trial
+            continue
+        if nfront == 3:
+            assert valid[0] and not valid[1]
+            np.testing.assert_array_equal(np.asarray(out["rv"][0]), rv)
+            continue
+        primary, appended = clip_near(job, near, factor, f32(320), f32(240))
+        assert valid[0]
+        np.testing.assert_allclose(np.asarray(out["rv"][0]), primary.rv,
+                                   rtol=1e-5, atol=1e-3, err_msg=str(trial))
+        np.testing.assert_allclose(np.asarray(out["cv"][0]), primary.cv,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["attr"][0]), primary.attr,
+                                   rtol=1e-5, atol=1e-3)
+        if appended is None:
+            assert not valid[1], trial
+        else:
+            assert valid[1], trial
+            np.testing.assert_allclose(np.asarray(out["rv"][1]), appended.rv,
+                                       rtol=1e-5, atol=1e-3)
+    # The random distribution must actually exercise every case.
+    assert min(n_cases.values()) >= 5, n_cases
