@@ -1,0 +1,79 @@
+"""On-chip validation: render every benchmark scene family on the real TPU
+(Pallas backend) and compare against the golden oracle.
+
+The CPU test suite runs the kernel in interpret mode, which does NOT prove the
+kernel compiles or runs correctly on hardware (see docs/KERNEL.md for observed
+failure modes, including a chip-crashing DMA). Run this after any kernel change:
+
+    python tools/tpu_validate.py        # ~10 min, mostly remote compiles
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def mismatch(a: np.ndarray, b: np.ndarray, tol: int = 1) -> float:
+    def ch(p):
+        p = p.astype(np.int64)
+        return np.stack([(p >> 16) & 255, (p >> 8) & 255, p & 255], -1)
+    return float((np.abs(ch(a) - ch(b)).max(-1) > tol).mean())
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from swift3drenderer_tpu.camera import Camera, Input
+    from swift3drenderer_tpu.config import DEFAULT_CONFIG
+    from swift3drenderer_tpu.golden import render_frame as golden_render
+    from swift3drenderer_tpu.models import SCENES, stress_scene
+    from swift3drenderer_tpu.ops.raster_pallas import render_frame_pallas
+    from swift3drenderer_tpu.renderer import scene_to_device
+
+    backend = jax.default_backend()
+    print(f"backend: {backend}, devices: {jax.devices()}")
+    if backend == "cpu":
+        print("WARNING: no TPU visible — this validates interpret mode only")
+
+    cases = [
+        ("tetrahedron", SCENES["tetrahedron"](seed=0), "nearest", None),
+        ("icosahedron+bilinear", SCENES["icosahedron"](seed=0), "bilinear", None),
+        ("anisotropic", SCENES["anisotropic"](seed=0), "nearest", None),
+        ("clipping(fly)", SCENES["clipping"](seed=0), "nearest", "fly"),
+        ("default", SCENES["default"](seed=0), "nearest", None),
+        ("regular_floor", SCENES["regular_floor"](seed=0), "nearest", None),
+        ("stress-multipass", stress_scene(seed=0, objects=128), "nearest", None),
+    ]
+    failures = 0
+    for name, scene, sampling, mode in cases:
+        cfg = dataclasses.replace(DEFAULT_CONFIG, sampling=sampling)
+        dev = scene_to_device(scene)
+        cam = Camera()
+        m = cam.update(Input(), force_update=True)
+        if mode == "fly":
+            for step in range(8):
+                m = cam.update(Input(up=2.0))
+        interpret = backend == "cpu"
+        px, _ = render_frame_pallas(dev, jnp.asarray(m, jnp.float32),
+                                    width=320, height=240, config=cfg,
+                                    interpret=interpret)
+        gp, _ = golden_render(scene, m, 320, 240, config=cfg)
+        frac = mismatch(gp, np.asarray(px))
+        ok = frac < 0.005
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'}  {name:22s} "
+              f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+              flush=True)
+    print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
