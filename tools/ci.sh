@@ -1,0 +1,27 @@
+#!/bin/sh
+# Full local check battery. CPU-only parts always run; on-chip validation runs
+# when a TPU is attached (skip with S3D_SKIP_TPU=1).
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== native build =="
+make -C native
+
+echo "== test suite (CPU, 8-device virtual mesh) =="
+python -m pytest tests/ -q
+
+echo "== driver hooks (virtual 8-device mesh) =="
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as g
+fn, args = g.entry(); print('entry:', fn(*args).shape)
+g.dryrun_multichip(8)"
+
+if [ "${S3D_SKIP_TPU:-0}" != "1" ]; then
+    echo "== on-chip kernel validation =="
+    python tools/tpu_validate.py
+    echo "== headline bench =="
+    python bench.py
+fi
+echo "CI OK"
