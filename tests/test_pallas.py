@@ -129,3 +129,23 @@ def test_pallas_many_textures_falls_back():
     gp, _ = golden_render(big, m, 128, 96)
     px, _ = Renderer(big, backend="pallas").render(m, 128, 96)
     assert pixel_mismatch_fraction(gp, px, tol=1) < 0.003
+
+
+def test_pallas_multi_pass_untextured_scene():
+    # Multi-pass + zero textures (dummy atlas path) is a distinct combination.
+    from swift3drenderer_tpu.models.primitives import SceneBuilder, add_tetrahedron
+    from swift3drenderer_tpu.models.scene import _finish
+    from swift3drenderer_tpu.ops.raster_pallas import MAX_SLOTS_PER_PASS
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    for i in range(280):  # 1120 triangles -> 2240 slots -> 2 passes
+        add_tetrahedron(b, rng, r=1.0,
+                        p=(-20.0 + (i % 24) * 1.8, (i // 24) % 5 * 2.0,
+                           -6.0 - (i // 120) * 4.0))
+    scene = _finish(b, None, 0)
+    assert scene.num_textures == 0
+    assert 2 * scene.num_triangles > MAX_SLOTS_PER_PASS
+    m = identity_camera()
+    gp, _ = golden_render(scene, m, 160, 96)
+    px, _ = Renderer(scene, backend="pallas").render(m, 160, 96)
+    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004
