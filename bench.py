@@ -109,7 +109,9 @@ def main() -> None:
     p.add_argument("--scene", default="default")
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--frames", type=int, default=10)
+    # 20 frames is the documented measurement protocol (BASELINE.md): long
+    # enough that the fixed tunnel/dispatch amortization subtracts cleanly.
+    p.add_argument("--frames", type=int, default=20)
     p.add_argument("--backend", default="pallas")
     p.add_argument("--all-configs", action="store_true",
                    help="print a table over the BASELINE configs instead")

@@ -6,6 +6,7 @@
 #include <cstdarg>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 
 #include "internal.h"
 
@@ -84,12 +85,18 @@ constexpr int64_t kAttrRecord = 48;
 
 }  // namespace
 
-extern "C" s3d_scene *s3d_scene_from_memory(const uint8_t *bytes, size_t len) {
+/* Parse body; counts are untrusted 64-bit values from the header, so every
+ * section verifies count <= remaining/record_size BEFORE resizing (prevents
+ * both multi-GB allocations from a tiny malformed file and size_t wrap in
+ * count * record_size). */
+static s3d_scene *scene_parse(const uint8_t *bytes, size_t len) {
     Reader r{bytes, len};
     auto scene = new s3d_scene();
 
     int64_t vcount = r.header();
-    if (vcount < 0 || !r.ok) { s3d_set_error("truncated vertex header"); goto fail; }
+    if (vcount < 0 || !r.ok || (uint64_t)vcount > r.left / 16) {
+        s3d_set_error("truncated vertex header"); goto fail;
+    }
     scene->vertices.resize((size_t)vcount * 4);
     if (!r.read(scene->vertices.data(), (size_t)vcount * 16)) {
         s3d_set_error("truncated vertex section"); goto fail;
@@ -97,8 +104,10 @@ extern "C" s3d_scene *s3d_scene_from_memory(const uint8_t *bytes, size_t len) {
 
     {
         int64_t ni = r.header();
-        if (ni < 0 || !r.ok) { s3d_set_error("truncated index header"); goto fail; }
         int64_t aligned = ni + ni % 2;  /* payload padded to 16 B */
+        if (ni < 0 || !r.ok || (uint64_t)aligned > r.left / 8) {
+            s3d_set_error("truncated index header"); goto fail;
+        }
         scene->vertex_indices.resize((size_t)aligned);
         if (!r.read(scene->vertex_indices.data(), (size_t)aligned * 8)) {
             s3d_set_error("truncated vertex index section"); goto fail;
@@ -108,7 +117,9 @@ extern "C" s3d_scene *s3d_scene_from_memory(const uint8_t *bytes, size_t len) {
 
     {
         int64_t ac = r.header();
-        if (ac < 0 || !r.ok) { s3d_set_error("truncated attribute header"); goto fail; }
+        if (ac < 0 || !r.ok || (uint64_t)ac > r.left / kAttrRecord) {
+            s3d_set_error("truncated attribute header"); goto fail;
+        }
         scene->normals.resize((size_t)ac * 4);
         scene->attr_vec.resize((size_t)ac * 3);
         scene->attr_tex.resize((size_t)ac);
@@ -137,8 +148,10 @@ extern "C" s3d_scene *s3d_scene_from_memory(const uint8_t *bytes, size_t len) {
 
     {
         int64_t ni = r.header();
-        if (ni < 0 || !r.ok) { s3d_set_error("truncated attr index header"); goto fail; }
         int64_t aligned = ni + ni % 2;
+        if (ni < 0 || !r.ok || (uint64_t)aligned > r.left / 8) {
+            s3d_set_error("truncated attr index header"); goto fail;
+        }
         scene->attribute_indices.resize((size_t)aligned);
         if (!r.read(scene->attribute_indices.data(), (size_t)aligned * 8)) {
             s3d_set_error("truncated attribute index section"); goto fail;
@@ -148,7 +161,9 @@ extern "C" s3d_scene *s3d_scene_from_memory(const uint8_t *bytes, size_t len) {
 
     {
         int64_t words = r.header();
-        if (words < 0 || !r.ok) { s3d_set_error("truncated texture header"); goto fail; }
+        if (words < 0 || !r.ok || (uint64_t)words > r.left / 4) {
+            s3d_set_error("truncated texture header"); goto fail;
+        }
         scene->textures.resize((size_t)words);
         if (!r.read(scene->textures.data(), (size_t)words * 4)) {
             s3d_set_error("truncated texture section"); goto fail;
@@ -167,6 +182,17 @@ extern "C" s3d_scene *s3d_scene_from_memory(const uint8_t *bytes, size_t len) {
 fail:
     delete scene;
     return nullptr;
+}
+
+extern "C" s3d_scene *s3d_scene_from_memory(const uint8_t *bytes, size_t len) {
+    /* No exception may escape the C ABI: a std::bad_alloc (or anything else)
+     * from the parser becomes a clean s3d_set_error + nullptr. */
+    try {
+        return scene_parse(bytes, len);
+    } catch (const std::exception &e) {
+        s3d_set_error("scene parse failure: %s", e.what());
+        return nullptr;
+    }
 }
 
 extern "C" s3d_scene *s3d_scene_load(const char *path) {

@@ -75,23 +75,34 @@ def pack_setup_tables(setup: Dict[str, jnp.ndarray]):
 
 
 def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
-                  tile_h: int, tile_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  tile_h: int, tile_w: int,
+                  y_offset: jnp.ndarray | int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Map each live triangle to the framebuffer tiles its bbox touches.
+
+    ``y_offset`` is the first framebuffer row this band covers (nonzero when
+    the framebuffer is row-band-sharded across devices): the setup bboxes are
+    in global rows, the tile grid is band-local, so binning happens on
+    band-relative rows and triangles outside the band drop out entirely.
 
     Returns (ids (ntiles, S) int32 — touching triangle slots first, ascending;
     counts (ntiles, 1) int32). Ascending id order preserves the reference's
     earlier-triangle-wins depth ties.
     """
     ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
+    y0 = jnp.asarray(y_offset, jnp.int32)
+    ymin_rel = setup["ymin"] - y0                               # (S,) band rows
+    ymax_rel = setup["ymax"] - y0
     txmin = jnp.clip(setup["xmin"] // tile_w, 0, ntx - 1)       # (S,)
     txmax = jnp.clip(setup["xmax"] // tile_w, 0, ntx - 1)
-    tymin = jnp.clip(setup["ymin"] // tile_h, 0, nty - 1)
-    tymax = jnp.clip(setup["ymax"] // tile_h, 0, nty - 1)
+    tymin = jnp.clip(ymin_rel // tile_h, 0, nty - 1)
+    tymax = jnp.clip(ymax_rel // tile_h, 0, nty - 1)
+    in_band = (ymax_rel >= 0) & (ymin_rel < height)
     tx = jnp.arange(ntx, dtype=jnp.int32)
     ty = jnp.arange(nty, dtype=jnp.int32)
     touch_x = (tx[None, :] >= txmin[:, None]) & (tx[None, :] <= txmax[:, None])
     touch_y = (ty[None, :] >= tymin[:, None]) & (ty[None, :] <= tymax[:, None])
-    touch = (touch_y[:, :, None] & touch_x[:, None, :]) & setup["live"][:, None, None]
+    live = setup["live"] & in_band
+    touch = (touch_y[:, :, None] & touch_x[:, None, :]) & live[:, None, None]
     touch = touch.reshape(touch.shape[0], nty * ntx).T          # (ntiles, S)
     ids = jnp.argsort(~touch, axis=1, stable=True).astype(jnp.int32)
     counts = touch.sum(axis=1, dtype=jnp.int32)[:, None]        # (ntiles, 1)
@@ -229,7 +240,10 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 # Reference-exact nearest fetch.
                 tx_ = (jnp.fmod(u, 1.0) * lu).astype(jnp.int32) + (511 & ~(2 * lu - 1))
                 ty_ = (jnp.fmod(v, 1.0) * lv).astype(jnp.int32) + (511 & ~(2 * lv - 1))
-                ly0 = jnp.clip(ty_ + trow, 0, atlas_rows - 1)
+                # Clamp within this texture's 512-row block (negative fmod for
+                # uv < 0 must not read the previous texture), matching the
+                # golden/native backends' [0, 511] clamp.
+                ly0 = jnp.clip(ty_, 0, 511) + trow
                 lx0 = jnp.clip(tx_, 0, 511)
                 ly1, lx1 = ly0, lx0
                 wx = jnp.zeros_like(u)
@@ -339,7 +353,7 @@ def _rasterize_chunk(
     s = setup["live"].shape[0]
     ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
     ids, counts = bin_triangles(setup, width=width, height=height,
-                                tile_h=tile_h, tile_w=tile_w)
+                                tile_h=tile_h, tile_w=tile_w, y_offset=y_offset)
     # HBM->SMEM DMA: pad each tile's id row to a 128-lane multiple and shape it
     # (ntiles, k, 128) so the per-tile DMA slices a leading (untiled) dim —
     # single-row slices of a lane-tiled 2D memref are rejected by Mosaic, and k

@@ -109,7 +109,10 @@ class Scene:
                 "attributes (the reference aborts on these at render time)"
             )
         textured = self.attr_tex >= 0
-        if textured.any() and self.attr_tex[textured].max() >= max(self.num_textures, 1):
+        # num_textures == 0 with any textured attribute is itself invalid
+        # (every texture index is then out of range), matching the native
+        # validator.
+        if textured.any() and self.attr_tex[textured].max() >= self.num_textures:
             raise ValueError("texture index out of range")
 
 

@@ -111,6 +111,15 @@ def test_validate_rejects_bad_index():
         s.validate()
 
 
+def test_validate_rejects_textured_attrs_without_textures():
+    # Regression: a zero-texture scene with textured attributes must fail
+    # validation (texture index 0 is out of range), not IndexError at render.
+    s = default_scene(seed=0)
+    s.textures = np.zeros((0, 512, 512), np.uint32)
+    with pytest.raises(ValueError, match="texture index out of range"):
+        s.validate()
+
+
 def test_validate_rejects_empty_scene():
     import numpy as np
     s = Scene(

@@ -94,6 +94,14 @@ def test_native_rejects_corrupt_scene(tmp_path):
         path2 = str(tmp_path / "short.bin")
         open(path2, "wb").write(bytes(blob[:40]))
         native.load_scene_native(path2)
+    # Regression: a tiny file claiming a huge vertex count must be rejected
+    # up front (count validated against remaining bytes), not attempt a
+    # multi-GB allocation.
+    path3 = str(tmp_path / "hugecount.bin")
+    import struct
+    open(path3, "wb").write(struct.pack("<qq", 1 << 40, 0))
+    with pytest.raises(ValueError, match="truncated"):
+        native.load_scene_native(path3)
 
 
 def test_native_camera_twin():

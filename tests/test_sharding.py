@@ -81,6 +81,24 @@ def test_pallas_backend_sharded_matches_golden():
     assert pixel_mismatch_fraction(np.asarray(px[0]), gp, tol=1) < 0.002
 
 
+def test_pallas_backend_sharded_multitile_bands():
+    # Regression: each fb shard's band spans MULTIPLE kernel tile rows
+    # (local_h=512 > tile_h=64) with a nonzero y_offset on the second shard.
+    # Binning must be band-relative or shards with y_offset > 0 render
+    # background only.
+    scene = default_scene(seed=0)
+    mesh = make_mesh(n_frame=1, n_fb=2)
+    sr = ShardedRenderer(scene, mesh=mesh, backend="pallas")
+    m = _cameras(1)
+    px, depth = sr.render_batch(m, 256, 1024)
+    gp, _ = golden_render(scene, m[0], 256, 1024)
+    # Both bands must contain non-background pixels and match golden.
+    bg = 0x001E1E1E
+    assert (np.asarray(px[0][:512]) != bg).any()
+    assert (np.asarray(px[0][512:]) != bg).any()
+    assert pixel_mismatch_fraction(np.asarray(px[0]), gp, tol=1) < 0.002
+
+
 def test_pallas_backend_sharded_alignment_check():
     scene = tetrahedron_scene(seed=0)
     sr = ShardedRenderer(scene, mesh=make_mesh(1, 4), backend="pallas")

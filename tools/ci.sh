@@ -10,13 +10,14 @@ make -C native
 echo "== test suite (CPU, 8-device virtual mesh) =="
 python -m pytest tests/ -q
 
-echo "== driver hooks (virtual 8-device mesh) =="
-XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+echo "== driver hooks (dryrun self-provisions the 8-device virtual mesh) =="
 python -c "
+import __graft_entry__ as g
+g.dryrun_multichip(8)"
+JAX_PLATFORMS=cpu python -c "
 import jax; jax.config.update('jax_platforms', 'cpu')
 import __graft_entry__ as g
-fn, args = g.entry(); print('entry:', fn(*args).shape)
-g.dryrun_multichip(8)"
+fn, args = g.entry(); print('entry:', fn(*args).shape)"
 
 if [ "${S3D_SKIP_TPU:-0}" != "1" ]; then
     echo "== on-chip kernel validation =="
