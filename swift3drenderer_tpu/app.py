@@ -331,6 +331,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="present frames as ANSI half-blocks in the terminal")
     p.add_argument("--interactive", action="store_true",
                    help="live terminal session: wasd move, arrows look, q quit")
+    p.add_argument("--serve", action="store_true",
+                   help="serve a live browser view (MJPEG over HTTP) with "
+                        "pointer-lock mouse capture and WASD input")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
 
     if os.path.exists(args.scene):
@@ -341,6 +346,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             scene = load_scene(args.scene)
     else:
         scene = SCENES[args.scene](seed=args.seed)
+    if args.serve:
+        from .viewer import run_serve
+
+        run_serve(scene, width=args.width, height=args.height,
+                  backend=args.backend, host=args.host, port=args.port,
+                  max_frames=args.frames)
+        return 0
     if args.interactive:
         run_interactive(scene, width=args.width, height=args.height,
                         backend=args.backend, max_frames=args.frames)

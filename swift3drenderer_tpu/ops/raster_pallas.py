@@ -110,8 +110,13 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
 
 
 def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
-                   bilinear: bool = False):
-    """Kernel factory: visibility + in-kernel shading and texture fetch per tile."""
+                   bilinear: bool = False, phases: str = "full"):
+    """Kernel factory: visibility + in-kernel shading and texture fetch per tile.
+
+    ``phases`` is a timing instrument (tools/perf_probe.py): "vis" stops after
+    visibility, "shade" skips the texel fetch — outputs are then WRONG; only
+    "full" renders correctly.
+    """
     assert tile_w == 128 and tile_h in (8, 16, 32, 64), \
         "in-kernel texel fetch assumes 128-lane tiles with pow2 sublane height"
 
@@ -166,12 +171,17 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             (jnp.zeros((tile_h, tile_w), jnp.float32),
              jnp.full((tile_h, tile_w), -1, jnp.int32)))
 
+        if phases == "vis":  # timing instrument: stop after visibility
+            pix_ref[:] = win
+            ooz_ref[:] = best
+            return
+
         # ---- phase 2: shade each slot's winning pixels ----
         def rsqrt3(x, y, z):
             return jax.lax.rsqrt(x * x + y * y + z * z)
 
         def shade_body(i, carry):
-            pix, shade, ar, ag, ab, tm = carry
+            pix, shade, planes, tm = carry
             s = ids_ref[i >> 7, i & 127]
             mask = win == s
 
@@ -243,11 +253,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 # Clamp within this texture's 512-row block (negative fmod for
                 # uv < 0 must not read the previous texture), matching the
                 # golden/native backends' [0, 511] clamp.
-                ly0 = jnp.clip(ty_, 0, 511) + trow
-                lx0 = jnp.clip(tx_, 0, 511)
-                ly1, lx1 = ly0, lx0
-                wx = jnp.zeros_like(u)
-                wy = jnp.zeros_like(v)
+                new = (jnp.clip(ty_, 0, 511) + trow, jnp.clip(tx_, 0, 511))
             else:
                 # Bilinear within the level (framework extension; see
                 # ops/texture.py): texel centers at integer+0.5, repeat wrap.
@@ -255,77 +261,163 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 tv = jnp.mod(v, 1.0) * lv - 0.5
                 xf = jnp.floor(tu).astype(jnp.int32)
                 yf = jnp.floor(tv).astype(jnp.int32)
-                wx = tu - xf
-                wy = tv - yf
                 offx = 511 & ~(2 * lu - 1)
                 offy = 511 & ~(2 * lv - 1)
-                lx0 = jnp.clip(jnp.mod(xf, lu) + offx, 0, 511)
-                lx1 = jnp.clip(jnp.mod(xf + 1, lu) + offx, 0, 511)
-                ly0 = jnp.clip(jnp.mod(yf, lv) + offy + trow, 0, atlas_rows - 1)
-                ly1 = jnp.clip(jnp.mod(yf + 1, lv) + offy + trow, 0, atlas_rows - 1)
+                new = (
+                    jnp.clip(jnp.mod(yf, lv) + offy + trow, 0, atlas_rows - 1),
+                    jnp.clip(jnp.mod(xf, lu) + offx, 0, 511),
+                    jnp.clip(jnp.mod(yf + 1, lv) + offy + trow, 0, atlas_rows - 1),
+                    jnp.clip(jnp.mod(xf + 1, lu) + offx, 0, 511),
+                    tu - xf,
+                    tv - yf,
+                )
 
-            ch0, ln0 = lx0 >> 7, lx0 & 127
-            ch1, ln1 = lx1 >> 7, lx1 & 127
-            rmin = jnp.min(jnp.where(active, jnp.minimum(ly0, ly1), atlas_rows))
-            rmax = jnp.max(jnp.where(active, jnp.maximum(ly0, ly1), -1))
-            cmin = jnp.min(jnp.where(active, jnp.minimum(ch0, ch1), 4))
-            cmax = jnp.max(jnp.where(active, jnp.maximum(ch0, ch1), -1))
-
-            def row_body(y, acc):
-                def chunk_body(c, acc):
-                    ar, ag, ab = acc
-                    # Dynamic sublane starts must be 8-aligned and the
-                    # hardware sublane gather spans one vreg (8 rows): load the
-                    # aligned (8, 128) block containing atlas row y, broadcast
-                    # the row within it, then stack copies up to tile height.
-                    yb = pl.multiple_of((y >> 3) * 8, 8)
-                    block = atlas_ref[pl.ds(yb, 8),
-                                      pl.ds(pl.multiple_of(c * 128, 128), 128)]
-                    rowsel = jnp.full((8, tile_w), y & 7, jnp.int32)
-                    rowb = jnp.take_along_axis(block, rowsel, axis=0)
-                    if tile_h > 8:
-                        rowb = jnp.concatenate([rowb] * (tile_h // 8), axis=0)
-                    if not bilinear:
-                        g = jnp.take_along_axis(rowb, ln0, axis=1)
-                        sel = active & (ly0 == y) & (ch0 == c)
-                        ar = jnp.where(sel, ((g >> 16) & 0xFF).astype(jnp.float32), ar)
-                        ag = jnp.where(sel, ((g >> 8) & 0xFF).astype(jnp.float32), ag)
-                        ab = jnp.where(sel, (g & 0xFF).astype(jnp.float32), ab)
-                    else:
-                        yw = (jnp.where(active & (ly0 == y), 1.0 - wy, 0.0)
-                              + jnp.where(active & (ly1 == y), wy, 0.0))
-                        g0 = jnp.take_along_axis(rowb, ln0, axis=1)
-                        g1 = jnp.take_along_axis(rowb, ln1, axis=1)
-                        xw0 = jnp.where(ch0 == c, 1.0 - wx, 0.0)
-                        xw1 = jnp.where(ch1 == c, wx, 0.0)
-                        r_ = xw0 * ((g0 >> 16) & 0xFF) + xw1 * ((g1 >> 16) & 0xFF)
-                        g_ = xw0 * ((g0 >> 8) & 0xFF) + xw1 * ((g1 >> 8) & 0xFF)
-                        b_ = xw0 * (g0 & 0xFF) + xw1 * (g1 & 0xFF)
-                        ar = ar + yw * r_
-                        ag = ag + yw * g_
-                        ab = ab + yw * b_
-                    return ar, ag, ab
-
-                return jax.lax.fori_loop(cmin, cmax + 1, chunk_body, acc)
-
-            ar, ag, ab = jax.lax.fori_loop(rmin, rmax + 1, row_body, (ar, ag, ab))
+            # Merge this slot's texel coordinates into the tile-wide planes
+            # (winner masks are disjoint across slots, so each pixel's
+            # coordinates are written by exactly one slot). The actual atlas
+            # reads happen ONCE per tile in phase 3, partitioned per texture
+            # block — not per triangle.
+            planes = tuple(jnp.where(active, a, b) for a, b in zip(new, planes))
             tm = tm | active.astype(jnp.int32)
-            return pix, shade, ar, ag, ab, tm
+            return pix, shade, planes, tm
 
         zf = jnp.zeros((tile_h, tile_w), jnp.float32)
-        pix, shade, ar, ag, ab, tm = jax.lax.fori_loop(
+        zi = jnp.zeros((tile_h, tile_w), jnp.int32)
+        planes0 = (zi, zi) if not bilinear else (zi, zi, zi, zi, zf, zf)
+        pix, shade, planes, tm = jax.lax.fori_loop(
             0, n, shade_body,
             (jnp.full((tile_h, tile_w), jnp.int32(background)), zf,
-             zf, zf, zf, jnp.zeros((tile_h, tile_w), jnp.int32)))
+             planes0, jnp.zeros((tile_h, tile_w), jnp.int32)))
 
-        # Shade-multiply fetched texels (render.swift:330) and merge.
-        tex_pix = (
-            ((shade * ar).astype(jnp.int32) << 16)
-            | ((shade * ag).astype(jnp.int32) << 8)
-            | (shade * ab).astype(jnp.int32)
-        )
-        pix_ref[:] = jnp.where(tm != 0, tex_pix, pix)
+        # The color-path / background merge lands first; the texel fetch below
+        # overwrites the textured winners' pixels when there are any.
+        pix_ref[:] = pix
         ooz_ref[:] = best
+
+        if phases == "shade":  # timing instrument: stop before the fetch
+            return
+
+        # ---- phase 3: texel fetch, once per tile, partitioned per texture
+        # block. A per-triangle fetch (the previous design) pays one atlas row
+        # loop per binned textured triangle; winners within one tile are
+        # spatially adjacent, so their ripmap rows cluster tightly *within a
+        # texture's 512-row block* — looping the merged per-texture row range
+        # amortizes the block-load/broadcast across all triangles sharing the
+        # texture. (A single un-partitioned union range was measured 30%
+        # slower: it bridges the unrelated row ranges of different textures.
+        # Each ripmap fetch row costs a full tile of vector ops either way —
+        # the win is fewer total row iterations.) The whole phase is skipped
+        # for tiles with no textured winners (background/color-only tiles):
+        # without the gate the per-texture range reductions alone cost ~0.6 us
+        # on every one of the ~1000 4K grid steps.
+        @pl.when(jnp.max(tm) > 0)
+        def _fetch_phase():
+            num_tex = max(atlas_rows // ATLAS_EDGE, 1)
+            zf8 = jnp.zeros((8, tile_w), jnp.float32)
+
+            def fetch_strip(strip):
+                """Fetch one 8-row pixel strip's texels: (active, coordinate
+                planes) sliced to (8, tile_w), one vreg per vector op."""
+                active = strip[0] != 0
+                if not bilinear:
+                    _, LY0, LX0 = strip
+                    LYMIN = LYMAX = LY0
+                    ch0, ln0 = LX0 >> 7, LX0 & 127
+                    CHMIN = CHMAX = ch0
+                else:
+                    _, LY0, LX0, LY1, LX1, WX, WY = strip
+                    LYMIN, LYMAX = jnp.minimum(LY0, LY1), jnp.maximum(LY0, LY1)
+                    ch0, ln0 = LX0 >> 7, LX0 & 127
+                    ch1, ln1 = LX1 >> 7, LX1 & 127
+                    CHMIN, CHMAX = jnp.minimum(ch0, ch1), jnp.maximum(ch0, ch1)
+
+                def fetch_tex(t, acc):
+                    # Both bilinear rows share the texture block (wrap stays
+                    # inside the level block), so LY0's block identifies the
+                    # texture.
+                    sel_t = active & ((LY0 >> 9) == t)
+                    rmin = jnp.min(jnp.where(sel_t, LYMIN, atlas_rows))
+                    rmax = jnp.max(jnp.where(sel_t, LYMAX, -1))
+                    cmin = jnp.min(jnp.where(sel_t, CHMIN, 4))
+                    cmax = jnp.max(jnp.where(sel_t, CHMAX, -1))
+
+                    # The loop iterates 8-row-aligned atlas BLOCKS, not rows:
+                    # the dominant per-iteration cost is fixed (dynamic-slice
+                    # VMEM load + loop bookkeeping, ~300 ns), so one load
+                    # serves 8 statically-unrolled row resolutions whose
+                    # selects are single-vreg (8, 128) ops. Rows the strip
+                    # doesn't touch match no pixels (LY0 == y is exact,
+                    # absolute rows include the texture base) — unrolled
+                    # wasted rows are a few cheap vector ops.
+                    def block_body(b, acc):
+                        def chunk_body(c, acc):
+                            ar, ag, ab = acc
+                            block = atlas_ref[pl.ds(pl.multiple_of(b * 8, 8), 8),
+                                              pl.ds(pl.multiple_of(c * 128, 128), 128)]
+                            for r in range(8):
+                                y = b * 8 + r
+                                rowsel = jnp.full((8, tile_w), r, jnp.int32)
+                                rowb = jnp.take_along_axis(block, rowsel, axis=0)
+                                if not bilinear:
+                                    g = jnp.take_along_axis(rowb, ln0, axis=1)
+                                    sel = active & (LY0 == y) & (ch0 == c)
+                                    ar = jnp.where(sel, ((g >> 16) & 0xFF).astype(jnp.float32), ar)
+                                    ag = jnp.where(sel, ((g >> 8) & 0xFF).astype(jnp.float32), ag)
+                                    ab = jnp.where(sel, (g & 0xFF).astype(jnp.float32), ab)
+                                else:
+                                    yw = (jnp.where(active & (LY0 == y), 1.0 - WY, 0.0)
+                                          + jnp.where(active & (LY1 == y), WY, 0.0))
+                                    g0 = jnp.take_along_axis(rowb, ln0, axis=1)
+                                    g1 = jnp.take_along_axis(rowb, ln1, axis=1)
+                                    xw0 = jnp.where(ch0 == c, 1.0 - WX, 0.0)
+                                    xw1 = jnp.where(ch1 == c, WX, 0.0)
+                                    r_ = xw0 * ((g0 >> 16) & 0xFF) + xw1 * ((g1 >> 16) & 0xFF)
+                                    g_ = xw0 * ((g0 >> 8) & 0xFF) + xw1 * ((g1 >> 8) & 0xFF)
+                                    b_ = xw0 * (g0 & 0xFF) + xw1 * (g1 & 0xFF)
+                                    ar = ar + yw * r_
+                                    ag = ag + yw * g_
+                                    ab = ab + yw * b_
+                            return ar, ag, ab
+
+                        return jax.lax.fori_loop(cmin, cmax + 1, chunk_body, acc)
+
+                    return jax.lax.fori_loop(rmin >> 3, (rmax >> 3) + 1,
+                                             block_body, acc)
+
+                return jax.lax.fori_loop(0, num_tex, fetch_tex, (zf8, zf8, zf8))
+
+            # The fetch runs per 8-row pixel STRIP (one vreg), not per full
+            # tile: an atlas-row iteration's masked selects cost O(strip)
+            # instead of O(tile), and a strip's winners touch ~8 atlas rows,
+            # so total fetch work is ~linear in tile pixels instead of
+            # ~tile_h x tile rows. (This is NOT the rejected "strip-wise
+            # shading" experiment — that one re-ran the per-triangle SMEM
+            # scalar loops 8x; here the strips slice the already-merged
+            # coordinate planes and no per-triangle work repeats.) The strip
+            # is skipped entirely when it has no textured winners.
+            strips = []
+            for si in range(tile_h // 8):
+                sl = slice(si * 8, si * 8 + 8)
+                strip = tuple(p[sl] for p in (tm,) + planes)
+
+                def run(strip=strip):
+                    return fetch_strip(strip)
+
+                ar, ag, ab = jax.lax.cond(
+                    jnp.max(strip[0]) > 0, run, lambda: (zf8, zf8, zf8))
+                strips.append((ar, ag, ab))
+
+            ar = jnp.concatenate([s[0] for s in strips], axis=0)
+            ag = jnp.concatenate([s[1] for s in strips], axis=0)
+            ab = jnp.concatenate([s[2] for s in strips], axis=0)
+
+            # Shade-multiply fetched texels (render.swift:330) and merge.
+            tex_pix = (
+                ((shade * ar).astype(jnp.int32) << 16)
+                | ((shade * ag).astype(jnp.int32) << 8)
+                | (shade * ab).astype(jnp.int32)
+            )
+            pix_ref[:] = jnp.where(tm != 0, tex_pix, pix)
 
     return kernel
 
@@ -348,6 +440,7 @@ def _rasterize_chunk(
     y_offset,
     interpret: bool,
     sampling: str,
+    phases: str = "full",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One kernel pass over <= MAX_SLOTS_PER_PASS setup slots."""
     s = setup["live"].shape[0]
@@ -385,7 +478,7 @@ def _rasterize_chunk(
 
     pix, ooz = pl.pallas_call(
         _raster_kernel(tile_h, tile_w, background, atlas_rows,
-                       bilinear=(sampling == "bilinear")),
+                       bilinear=(sampling == "bilinear"), phases=phases),
         grid=(nty, ntx),
         in_specs=[
             smem((1, nty * ntx)),           # per-tile counts, lane-major
@@ -412,7 +505,7 @@ def _rasterize_chunk(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
-                                   "tile_w", "interpret", "sampling"))
+                                   "tile_w", "interpret", "sampling", "phases"))
 def rasterize_pallas(
     setup: Dict[str, jnp.ndarray],
     textures: jnp.ndarray,
@@ -425,6 +518,7 @@ def rasterize_pallas(
     y_offset: jnp.ndarray | int = 0,
     interpret: bool = False,
     sampling: str = "nearest",
+    phases: str = "full",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full rasterize + shade; returns (pixels (H, W) uint32, depth (H, W) f32).
 
@@ -436,7 +530,7 @@ def rasterize_pallas(
     s = setup["live"].shape[0]
     kw = dict(width=width, height=height, background=background, tile_h=tile_h,
               tile_w=tile_w, y_offset=y_offset, interpret=interpret,
-              sampling=sampling)
+              sampling=sampling, phases=phases)
     if s <= MAX_SLOTS_PER_PASS:
         return _rasterize_chunk(setup, textures, **kw)
     pix = ooz = None

@@ -20,8 +20,11 @@ def edge_function(ax, ay, bx, by, cx, cy):
     return (cx - ax) * (ay - by) + (cy - ay) * (bx - ax)
 
 
-def triangle_setup(corners: Dict[str, jnp.ndarray], width: int, height: int,
+def triangle_setup(corners: Dict[str, jnp.ndarray], width, height,
                    min_area: float) -> Setup:
+    # width/height may be python ints (exact-size compile) or traced f32
+    # scalars (bucketed live resize: raster extent compiled at the bucket
+    # size, true dims only clamp coverage) — both exact in f32.
     rv = corners["rv"]                       # (S, 3, 3)
     cv = corners["cv"]
     attr = corners["attr"]
@@ -62,9 +65,11 @@ def triangle_setup(corners: Dict[str, jnp.ndarray], width: int, height: int,
 
     # Integer bbox, truncation semantics matching Swift Int() (render.swift:282-285).
     xmin = jnp.maximum(0.0, rvmin[:, 0]).astype(jnp.int32)
-    xmax = jnp.minimum(float(width - 1), rvmax[:, 0]).astype(jnp.int32)
+    xmax = jnp.minimum(jnp.asarray(width, jnp.float32) - 1,
+                       rvmax[:, 0]).astype(jnp.int32)
     ymin = jnp.maximum(0.0, rvmin[:, 1]).astype(jnp.int32)
-    ymax = jnp.minimum(float(height - 1), rvmax[:, 1]).astype(jnp.int32)
+    ymax = jnp.minimum(jnp.asarray(height, jnp.float32) - 1,
+                       rvmax[:, 1]).astype(jnp.int32)
 
     # Perspective premultiply (render.swift:297-299).
     rvz = 1.0 / rv[:, :, 2]                  # (S, 3)

@@ -43,11 +43,20 @@ def scene_to_device(scene: Scene) -> Dict[str, jnp.ndarray]:
     )
 
 
-def build_setup(dev: Dict[str, jnp.ndarray], m: jnp.ndarray, *, width: int,
-                height: int, config: RenderConfig) -> Dict[str, jnp.ndarray]:
-    """Geometry front-end: transforms, corner gather, clip prepass, setup table."""
-    factor = config.factor(height)
-    half_w, half_h = width / 2.0, height / 2.0
+def build_setup(dev: Dict[str, jnp.ndarray], m: jnp.ndarray, *, width,
+                height, config: RenderConfig,
+                proj=None) -> Dict[str, jnp.ndarray]:
+    """Geometry front-end: transforms, corner gather, clip prepass, setup table.
+
+    ``width``/``height`` may be traced scalars (bucketed live resize); pass the
+    host-computed projection constants via ``proj = (factor, half_w, half_h)``
+    then, so the arithmetic is bit-identical to the exact-size compile.
+    """
+    if proj is None:
+        factor = config.factor(height)
+        half_w, half_h = width / 2.0, height / 2.0
+    else:
+        factor, half_w, half_h = proj
     cv = transform_points(dev["vertices"], m)
     rv = project(cv, factor, half_w, half_h)
     nrm = transform_normals(dev["normals"], m)
@@ -85,6 +94,54 @@ def render_frame_xla(
     )
 
 
+def _bucket_dim(x: int, step: int, lo: int = 128, growth: float = 1.4) -> int:
+    b = lo
+    while b < x:
+        b = -(-int(b * growth) // step) * step
+    return b
+
+
+def bucket_dims(width: int, height: int) -> Tuple[int, int]:
+    """Geometric compile-size buckets for live resize: a drag-resize sweep
+    recompiles at most log-many times (the reference keeps rendering at every
+    size every frame, main.swift:156-165; XLA needs static raster extents, so
+    we compile at the bucket size and mask/crop to the true size)."""
+    return _bucket_dim(width, 128), _bucket_dim(height, 64)
+
+
+@partial(jax.jit, static_argnames=("bw", "bh", "config", "backend", "interpret"))
+def _render_frame_bucketed(
+    dev: Dict[str, jnp.ndarray],
+    m: jnp.ndarray,
+    dims: jnp.ndarray,  # (5,) f32: width, height, factor, half_w, half_h
+    *,
+    bw: int,
+    bh: int,
+    config: RenderConfig = DEFAULT_CONFIG,
+    backend: str = "xla",
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render at bucket raster extent (bw, bh) with the TRUE frame dimensions
+    traced: projection and coverage clamps use the true size (host-computed
+    constants in ``dims`` keep the arithmetic bit-identical to an exact-size
+    compile), so rows/cols beyond the true size stay background and the caller
+    crops. Compiles once per (bw, bh) bucket instead of per exact size."""
+    setup = build_setup(dev, m, width=dims[0], height=dims[1], config=config,
+                        proj=(dims[2], dims[3], dims[4]))
+    if backend == "pallas":
+        from .ops.raster_pallas import rasterize_pallas
+
+        return rasterize_pallas(
+            setup, dev["textures"], width=bw, height=bh,
+            background=config.background_packed, interpret=interpret,
+            sampling=config.sampling)
+    from .ops.raster_xla import rasterize
+
+    return rasterize(
+        setup, dev["textures"], width=bw, height=bh,
+        background=config.background_packed, sampling=config.sampling)
+
+
 class Renderer:
     """Host-side frame orchestrator.
 
@@ -109,10 +166,27 @@ class Renderer:
             self.dev = scene_to_device(scene)
 
     def render(self, camera_matrix: np.ndarray, width: int,
-               height: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Render one frame; returns host (pixels (H, W) uint32, depth f32)."""
+               height: int, bucketed: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+        """Render one frame; returns host (pixels (H, W) uint32, depth f32).
+
+        ``bucketed=True`` compiles per resolution *bucket* instead of per exact
+        size (live-resize friendly, see bucket_dims); output is cropped to the
+        requested size and pixel-identical to the exact-size path."""
         if self.backend == "native":
             return self._native.render(camera_matrix, width, height)
+        if bucketed:
+            bw, bh = bucket_dims(width, height)
+            dims = jnp.asarray(
+                [width, height, self.config.factor(height),
+                 width / 2.0, height / 2.0], jnp.float32)
+            interpret = (self.backend == "pallas"
+                         and jax.default_backend() not in ("tpu", "axon"))
+            pixels, depth = _render_frame_bucketed(
+                self.dev, jnp.asarray(camera_matrix, jnp.float32), dims,
+                bw=bw, bh=bh, config=self.config, backend=self.backend,
+                interpret=interpret)
+            return (np.asarray(pixels)[:height, :width],
+                    np.asarray(depth)[:height, :width])
         pixels, depth = self.render_device(camera_matrix, width, height)
         return np.asarray(pixels), np.asarray(depth)
 
