@@ -6,20 +6,27 @@ recast inverts the loop: the framebuffer is a grid of lane-aligned VMEM tiles, a
 binning prepass computes which triangles' bboxes touch each tile, and the kernel
 loops only the binned triangles per tile with all tile pixels evaluated per step.
 
-Two in-kernel phases per tile:
+Three in-kernel phases per tile:
 
 1. **Visibility** — closed-form edge functions + running max over 1/z (exactly the
    reference's ``oneOverZ > depth`` test with 0-cleared depth, render.swift:323-325;
    strict compare + ascending slot ids preserve earlier-triangle-wins ties).
 2. **Shading** — a second pass over the same binned list, masked to each slot's
    winning pixels: perspective-correct weights, halfway-vector headlight
-   (render.swift:326-331), flat-color packing, and the ripmap texel fetch — all
-   in-kernel. The fetch exploits the level selection's ~1 texel/pixel property:
-   loop the few touched atlas rows, broadcast each via a sublane gather, resolve
-   columns with a hardware lane gather (XLA-level gathers scalarize at ~7.5
-   ns/texel; this path is ~6x faster end to end). See docs/KERNEL.md.
-   (A double-buffered prefetch of the next tile's id list was tried and measured
-   performance-neutral — the per-tile DMA is not on the critical path.)
+   (render.swift:326-331), flat-color packing — and, for textured winners, the
+   per-pixel ripmap COORDINATES merged into tile-wide planes (winner masks are
+   disjoint). No atlas access happens in this loop.
+3. **Texel fetch** — resolves the merged coordinate planes once per tile:
+   per 8-row pixel strip (single-vreg ops), partitioned per texture block
+   (ranges stay inside one 512-row block), iterating 8-row-aligned atlas
+   blocks with the 8 row resolutions statically unrolled — sublane broadcast +
+   hardware lane gather + masked selects. XLA-level gathers scalarize at ~7.5
+   ns/texel; this path is ~15x faster end to end. Design + measured anatomy +
+   the tried-and-rejected alternatives: docs/KERNEL.md.
+
+The camera-batch axis rides the kernel grid (B, nty, ntx) — a batch renders in
+ONE dispatch (jax cannot vmap a compiled pallas_call), with per-frame tables
+routed by block-granular index maps on the flattened (B*rows, S) SMEM tables.
 
 Memory layout notes (all learned the hard way against the 1 MB SMEM budget):
 per-triangle constants are packed **transposed** as (row, slot) with the slot index
@@ -123,15 +130,21 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
     def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_hbm, atlas_ref,
                pix_ref, ooz_ref,
                ids_ref, ids_sem):
-        ty = pl.program_id(0)
-        tx = pl.program_id(1)
-        ntx = pl.num_programs(1)
+        # Grid (B, nty, ntx): the camera-batch axis rides the grid (serving /
+        # multi-view path); per-frame tables are delivered per-b by the block
+        # index maps, so the body below is written for one frame.
+        b = pl.program_id(0)
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
+        nty = pl.num_programs(1)
+        ntx = pl.num_programs(2)
         tile = ty * ntx + tx
 
         # This tile's triangle id list: HBM -> SMEM scratch (the full (ntiles, S)
         # table is far too large for SMEM residency; one row is a few hundred
         # bytes). The copy overlaps the pixel-coordinate setup below.
-        dma = pltpu.make_async_copy(ids_hbm.at[tile], ids_ref, ids_sem)
+        dma = pltpu.make_async_copy(ids_hbm.at[b * nty * ntx + tile],
+                                    ids_ref, ids_sem)
         dma.start()
 
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -172,8 +185,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
              jnp.full((tile_h, tile_w), -1, jnp.int32)))
 
         if phases == "vis":  # timing instrument: stop after visibility
-            pix_ref[:] = win
-            ooz_ref[:] = best
+            pix_ref[0] = win
+            ooz_ref[0] = best
             return
 
         # ---- phase 2: shade each slot's winning pixels ----
@@ -291,8 +304,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 
         # The color-path / background merge lands first; the texel fetch below
         # overwrites the textured winners' pixels when there are any.
-        pix_ref[:] = pix
-        ooz_ref[:] = best
+        pix_ref[0] = pix
+        ooz_ref[0] = best
 
         if phases == "shade":  # timing instrument: stop before the fetch
             return
@@ -331,11 +344,17 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     ch1, ln1 = LX1 >> 7, LX1 & 127
                     CHMIN, CHMAX = jnp.minimum(ch0, ch1), jnp.maximum(ch0, ch1)
 
+                # Both bilinear rows share the texture block (wrap stays
+                # inside the level block), so LY0's block identifies the
+                # texture. Most strips sample a single texture: bound the
+                # texture loop by the strip's [min, max] block ids (2 cheap
+                # reductions) instead of scanning all atlas textures.
+                TB = LY0 >> 9
+                tmin = jnp.min(jnp.where(active, TB, num_tex))
+                tmax = jnp.max(jnp.where(active, TB, -1))
+
                 def fetch_tex(t, acc):
-                    # Both bilinear rows share the texture block (wrap stays
-                    # inside the level block), so LY0's block identifies the
-                    # texture.
-                    sel_t = active & ((LY0 >> 9) == t)
+                    sel_t = active & (TB == t)
                     rmin = jnp.min(jnp.where(sel_t, LYMIN, atlas_rows))
                     rmax = jnp.max(jnp.where(sel_t, LYMAX, -1))
                     cmin = jnp.min(jnp.where(sel_t, CHMIN, 4))
@@ -384,7 +403,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     return jax.lax.fori_loop(rmin >> 3, (rmax >> 3) + 1,
                                              block_body, acc)
 
-                return jax.lax.fori_loop(0, num_tex, fetch_tex, (zf8, zf8, zf8))
+                return jax.lax.fori_loop(tmin, tmax + 1, fetch_tex,
+                                         (zf8, zf8, zf8))
 
             # The fetch runs per 8-row pixel STRIP (one vreg), not per full
             # tile: an atlas-row iteration's masked selects cost O(strip)
@@ -417,7 +437,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 | ((shade * ag).astype(jnp.int32) << 8)
                 | (shade * ab).astype(jnp.int32)
             )
-            pix_ref[:] = jnp.where(tm != 0, tex_pix, pix)
+            pix_ref[0] = jnp.where(tm != 0, tex_pix, pix)
 
     return kernel
 
@@ -426,6 +446,13 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 # SMEM: 48-row f32 + 8-row i32 tables at 4 B/lane, plus counts and scratch).
 # Larger scenes render in multiple passes merged by depth below.
 MAX_SLOTS_PER_PASS = 2048
+
+# VMEM budget for the resident texture atlas (1 MB per 512x512 texture).
+# Probed on-chip (tools; 2026-08-16): a 96 MB atlas compiles and renders
+# correctly on v5e, so the round-1 12 MB bound was ~8x too conservative.
+# 96 MB (96 textures) is the validated ceiling; scenes beyond it fall back
+# to the XLA rasterizer transparently.
+ATLAS_VMEM_BUDGET = 96 * 1024 * 1024
 
 
 def _rasterize_chunk(
@@ -442,20 +469,39 @@ def _rasterize_chunk(
     sampling: str,
     phases: str = "full",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One kernel pass over <= MAX_SLOTS_PER_PASS setup slots."""
-    s = setup["live"].shape[0]
+    """One kernel pass over <= MAX_SLOTS_PER_PASS setup slots.
+
+    ``setup`` arrays carry a leading camera-batch axis B (B=1 for a single
+    frame); the kernel grid is (B, nty, ntx) and per-frame tables are routed by
+    block index maps — the batch costs no extra compilation or vmap tricks.
+    Returns (pixels (B, H, W) uint32, depth (B, H, W) f32).
+    """
+    bsz, s = setup["live"].shape
     ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
-    ids, counts = bin_triangles(setup, width=width, height=height,
-                                tile_h=tile_h, tile_w=tile_w, y_offset=y_offset)
+    ids, counts = jax.vmap(partial(
+        bin_triangles, width=width, height=height,
+        tile_h=tile_h, tile_w=tile_w, y_offset=y_offset))(setup)
     # HBM->SMEM DMA: pad each tile's id row to a 128-lane multiple and shape it
-    # (ntiles, k, 128) so the per-tile DMA slices a leading (untiled) dim —
+    # (B*ntiles, k, 128) so the per-tile DMA slices a leading (untiled) dim —
     # single-row slices of a lane-tiled 2D memref are rejected by Mosaic, and k
     # itself must be sublane-aligned (multiple of 8) or the copy faults.
     k = max(8, _cdiv(_cdiv(s, 128), 8) * 8)
     s_pad = k * 128
-    ids = jnp.pad(ids, ((0, 0), (0, s_pad - s))).reshape(-1, k, 128)
+    ids = jnp.pad(ids, ((0, 0), (0, 0), (0, s_pad - s))).reshape(-1, k, 128)
     y0 = jnp.asarray(y_offset, jnp.int32).reshape(1, 1)
-    trf, tri = pack_setup_tables(setup)
+    trf, tri = jax.vmap(pack_setup_tables)(setup)                # (B, R, S)
+    # Windowed (non-full) SMEM blocks need 8-aligned rows on TPU: pad each
+    # frame's tables to 8-row multiples so a (rows, S) block of the flattened
+    # (B*rows, S) array selects frame b by block index — the kernel body stays
+    # batch-agnostic.
+    f32_rows = _cdiv(_F32_ROWS, 8) * 8
+    i32_rows = _cdiv(_I32_ROWS, 8) * 8
+    trf = jnp.pad(trf, ((0, 0), (0, f32_rows - _F32_ROWS), (0, 0)))
+    tri = jnp.pad(tri, ((0, 0), (0, i32_rows - _I32_ROWS), (0, 0)))
+    trf = trf.reshape(bsz * f32_rows, s)
+    tri = tri.reshape(bsz * i32_rows, s)
+    counts = jnp.pad(counts.reshape(bsz, 1, nty * ntx),
+                     ((0, 0), (0, 7), (0, 0))).reshape(bsz * 8, nty * ntx)
 
     # Atlas rows (NT*512, 512) int32 in VMEM for the in-kernel fetch; a dummy
     # row block keeps shapes valid for untextured scenes (never fetched).
@@ -465,31 +511,36 @@ def _rasterize_chunk(
     else:
         atlas = jnp.zeros((512, 512), jnp.int32)
     atlas_rows = atlas.shape[0]
-    if atlas_rows * 512 * 4 > 12 * 1024 * 1024:
+    if atlas_rows * 512 * 4 > ATLAS_VMEM_BUDGET:
         raise ValueError(
             f"{nt} textures exceed the VMEM atlas budget of the pallas backend")
 
-    smem = lambda shape: pl.BlockSpec(  # noqa: E731 — full array resident in SMEM
-        shape, lambda ty, tx: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    # SMEM windows are block-granular on the leading axis: a (R, S) block of a
+    # (B*R, S) array at index (b, 0) is frame b's table — keeps every SMEM ref
+    # 2D (lane padding rules) while the batch rides the grid.
+    smem_b = lambda rows, cols: pl.BlockSpec(  # noqa: E731
+        (rows, cols), lambda b, ty, tx: (b, 0), memory_space=pltpu.SMEM)
     out_tile = lambda: pl.BlockSpec(  # noqa: E731
-        (tile_h, tile_w), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM)
+        (1, tile_h, tile_w), lambda b, ty, tx: (b, ty, tx),
+        memory_space=pltpu.VMEM)
     out_shape = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
-        (nty * tile_h, ntx * tile_w), dt)
+        (bsz, nty * tile_h, ntx * tile_w), dt)
 
     pix, ooz = pl.pallas_call(
         _raster_kernel(tile_h, tile_w, background, atlas_rows,
                        bilinear=(sampling == "bilinear"), phases=phases),
-        grid=(nty, ntx),
+        grid=(bsz, nty, ntx),
         in_specs=[
-            smem((1, nty * ntx)),           # per-tile counts, lane-major
-            smem((_F32_ROWS, s)),           # packed per-triangle f32 constants
-            smem((_I32_ROWS, s)),           # packed per-triangle i32 constants
-            smem((1, 1)),                   # y_offset
-            # The (ntiles, S) id table stays in HBM; the kernel DMAs one row
+            smem_b(8, nty * ntx),           # frame b's per-tile counts
+            smem_b(f32_rows, s),            # frame b's f32 constants
+            smem_b(i32_rows, s),            # frame b's i32 constants
+            pl.BlockSpec((1, 1), lambda b, ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),  # y_offset (shared)
+            # The (B*ntiles, S) id table stays in HBM; the kernel DMAs one row
             # per tile into SMEM scratch.
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             # Whole texture atlas VMEM-resident (1 MB per texture).
-            pl.BlockSpec((atlas_rows, 512), lambda ty, tx: (0, 0),
+            pl.BlockSpec((atlas_rows, 512), lambda b, ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_tile(), out_tile()],
@@ -500,8 +551,9 @@ def _rasterize_chunk(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(counts.T, trf, tri, y0, ids, atlas)
-    return pix[:height, :width].astype(jnp.uint32), ooz[:height, :width]
+    )(counts, trf, tri, y0, ids, atlas)
+    return (pix[:, :height, :width].astype(jnp.uint32),
+            ooz[:, :height, :width])
 
 
 @partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
@@ -527,15 +579,48 @@ def rasterize_pallas(
     on strictly greater 1/z, which preserves the reference's earlier-triangle
     depth-tie order across the split (render.swift:324).
     """
-    s = setup["live"].shape[0]
-    kw = dict(width=width, height=height, background=background, tile_h=tile_h,
-              tile_w=tile_w, y_offset=y_offset, interpret=interpret,
-              sampling=sampling, phases=phases)
+    batched = jax.tree.map(lambda a: a[None], setup)
+    pix, ooz = _rasterize_multipass(
+        batched, textures, width=width, height=height, background=background,
+        tile_h=tile_h, tile_w=tile_w, y_offset=y_offset, interpret=interpret,
+        sampling=sampling, phases=phases)
+    return pix[0], ooz[0]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
+                                   "tile_w", "interpret", "sampling", "phases"))
+def rasterize_pallas_batch(
+    setup: Dict[str, jnp.ndarray],  # leading camera-batch axis B on every array
+    textures: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    background: int,
+    tile_h: int = 64,
+    tile_w: int = 128,
+    y_offset: jnp.ndarray | int = 0,
+    interpret: bool = False,
+    sampling: str = "nearest",
+    phases: str = "full",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched rasterize: (B, H, W) pixels/depth from a setup table with a
+    leading camera-batch axis. The batch rides the kernel grid (B, nty, ntx) —
+    one dispatch renders all B frames (the serving path; jax cannot vmap
+    through a compiled pallas_call)."""
+    return _rasterize_multipass(
+        setup, textures, width=width, height=height, background=background,
+        tile_h=tile_h, tile_w=tile_w, y_offset=y_offset, interpret=interpret,
+        sampling=sampling, phases=phases)
+
+
+def _rasterize_multipass(setup, textures, **kw):
+    s = setup["live"].shape[1]
     if s <= MAX_SLOTS_PER_PASS:
         return _rasterize_chunk(setup, textures, **kw)
     pix = ooz = None
     for c0 in range(0, s, MAX_SLOTS_PER_PASS):
-        sub = {key: v[c0: c0 + MAX_SLOTS_PER_PASS] for key, v in setup.items()}
+        sub = {key: v[:, c0: c0 + MAX_SLOTS_PER_PASS]
+               for key, v in setup.items()}
         p, o = _rasterize_chunk(sub, textures, **kw)
         if pix is None:
             pix, ooz = p, o
@@ -568,12 +653,39 @@ def render_frame_pallas(
     from .raster_xla import rasterize
 
     setup = build_setup(dev, m, width=width, height=height, config=config)
-    if dev["textures"].shape[0] * 512 * 512 * 4 > 12 * 1024 * 1024:
+    if dev["textures"].shape[0] * 512 * 512 * 4 > ATLAS_VMEM_BUDGET:
         return rasterize(
             setup, dev["textures"], width=width, height=height,
             background=config.background_packed, sampling=config.sampling,
         )
     return rasterize_pallas(
+        setup, dev["textures"], width=width, height=height,
+        background=config.background_packed, tile_h=tile_h, tile_w=tile_w,
+        interpret=interpret, sampling=config.sampling,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "config", "tile_h",
+                                   "tile_w", "interpret"))
+def render_batch_pallas(
+    dev: Dict[str, jnp.ndarray],
+    ms: jnp.ndarray,  # (B, 3, 4) camera batch
+    *,
+    width: int,
+    height: int,
+    config: RenderConfig = DEFAULT_CONFIG,
+    tile_h: int = 64,
+    tile_w: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch of frames in ONE kernel dispatch: the camera axis rides the
+    kernel grid (B, nty, ntx), so B frames cost ~B kernel-grid time with a
+    single geometry front-end batch — no per-frame dispatch or lax.map."""
+    from ..renderer import build_setup
+
+    setup = jax.vmap(lambda m: build_setup(
+        dev, m, width=width, height=height, config=config))(ms)
+    return rasterize_pallas_batch(
         setup, dev["textures"], width=width, height=height,
         background=config.background_packed, tile_h=tile_h, tile_w=tile_w,
         interpret=interpret, sampling=config.sampling,

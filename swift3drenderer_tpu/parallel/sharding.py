@@ -59,7 +59,7 @@ def render_batch_sharded(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render a camera batch over the mesh; returns (pixels (B, H, W) uint32,
     depth (B, H, W) f32), sharded P('frame', 'fb', None)."""
-    from ..ops.raster_pallas import rasterize_pallas
+    from ..ops.raster_pallas import rasterize_pallas_batch
     from ..ops.raster_xla import rasterize
 
     n_fb = mesh.shape["fb"]
@@ -76,15 +76,20 @@ def render_batch_sharded(
     def shard_fn(dev_rep, m_local):
         y0 = jax.lax.axis_index("fb") * local_h
 
+        if backend == "pallas":
+            # The local camera batch rides the kernel grid (a pallas_call
+            # cannot be vmapped once compiled).
+            setup = jax.vmap(lambda m: build_setup(
+                dev_rep, m, width=width, height=height, config=config))(m_local)
+            return rasterize_pallas_batch(
+                setup, dev_rep["textures"], width=width, height=local_h,
+                background=config.background_packed, y_offset=y0,
+                interpret=interpret, sampling=config.sampling,
+            )
+
         def one_frame(m):
             setup = build_setup(dev_rep, m, width=width, height=height,
                                 config=config)
-            if backend == "pallas":
-                return rasterize_pallas(
-                    setup, dev_rep["textures"], width=width, height=local_h,
-                    background=config.background_packed, y_offset=y0,
-                    interpret=interpret, sampling=config.sampling,
-                )
             return rasterize(
                 setup, dev_rep["textures"], width=width, height=local_h,
                 background=config.background_packed, band_rows=band_rows,

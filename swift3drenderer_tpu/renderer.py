@@ -235,17 +235,16 @@ class Renderer:
         multi-chip batches see parallel.sharding.ShardedRenderer). Returns
         device arrays (B, H, W) pixels and depth.
 
-        The XLA backend vmaps; the Pallas backend maps sequentially — a single
-        frame already saturates the chip, and jax cannot batch through a
-        compiled pallas_call."""
+        The XLA backend vmaps; the Pallas backend folds the batch into the
+        kernel grid (B, nty, ntx) — one dispatch renders all B frames."""
         ms = jnp.asarray(matrices, jnp.float32)
         if self.backend == "pallas":
-            from .ops.raster_pallas import render_frame_pallas
+            from .ops.raster_pallas import render_batch_pallas
 
             interpret = jax.default_backend() not in ("tpu", "axon")
-            fn = partial(render_frame_pallas, self.dev, width=width,
-                         height=height, config=self.config, interpret=interpret)
-            return jax.lax.map(fn, ms)
+            return render_batch_pallas(self.dev, ms, width=width,
+                                       height=height, config=self.config,
+                                       interpret=interpret)
         fn = partial(render_frame_xla, self.dev, width=width, height=height,
                      config=self.config)
         return jax.vmap(fn)(ms)
