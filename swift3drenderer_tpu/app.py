@@ -39,8 +39,14 @@ class FrameLoop:
     def __init__(self, scene: Scene, width: int = 960, height: int = 540,
                  config: RenderConfig = DEFAULT_CONFIG, backend: str = "xla",
                  stats: Optional[FrameStats] = None,
-                 fallback_backend: Optional[str] = None) -> None:
+                 fallback_backend: Optional[str] = None,
+                 bucketed: bool = False) -> None:
         self._scene = scene
+        # bucketed: compile per resolution BUCKET so a live drag-resize never
+        # stalls on per-size recompiles (reference main.swift:156-165 keeps
+        # rendering at every size). Off by default — exact-size compiles are
+        # marginally faster for fixed-size capture runs.
+        self.bucketed = bucketed and backend != "native"
         self.renderer = Renderer(scene, config=config, backend=backend)
         self.camera = Camera(config)
         self.keyboard = KeyboardState()
@@ -78,7 +84,8 @@ class FrameLoop:
         m = self.camera.update(inp, force_update=self._first)
         self._first = False
         try:
-            pixels, _ = self.renderer.render(m, self.width, self.height)
+            pixels, _ = self.renderer.render(m, self.width, self.height,
+                                             bucketed=self.bucketed)
         except Exception as exc:  # noqa: BLE001 — device loss is not typed
             if self.fallback_backend is None or self.failed_over:
                 raise

@@ -55,17 +55,26 @@ _W00, _DX, _DY, _RVZ = 0, 3, 6, 9          # 3 rows each: barycentric + 1/z
 _CVP, _NP, _ATTRP = 12, 21, 30             # 9 rows each: corner-major premultiplied
 _TPP, _DZV = 39, 41                        # 2 rows each: ripmap level constants
 _F32_ROWS = 43
-# Row indices of the packed (6, S) int32 table.
-_XMIN, _XMAX, _YMIN, _YMAX, _TEXBASE, _ISTEX = 0, 1, 2, 3, 4, 5
-_I32_ROWS = 6
+# Row indices of the packed (7, S) int32 table. _GID is each slot's GLOBAL
+# setup index — multipass spatial partitioning permutes slots across passes,
+# and cross-pass depth ties must still resolve to the smallest global id
+# (the reference's earlier-triangle-wins order, render.swift:324).
+_XMIN, _XMAX, _YMIN, _YMAX, _TEXBASE, _ISTEX, _GID = 0, 1, 2, 3, 4, 5, 6
+_I32_ROWS = 7
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def pack_setup_tables(setup: Dict[str, jnp.ndarray]):
-    """Pack the setup table into SMEM-friendly (row, slot) arrays."""
+def pack_setup_tables(setup: Dict[str, jnp.ndarray], gids=None):
+    """Pack the setup table into SMEM-friendly (row, slot) arrays.
+
+    ``gids`` are the slots' global setup indices (defaults to arange — the
+    identity for single-pass rendering)."""
+    n = setup["live"].shape[0]
+    if gids is None:
+        gids = jnp.arange(n, dtype=jnp.int32)
     f32 = jnp.concatenate([
         setup["w00"].T, setup["dx"].T, setup["dy"].T, setup["rvz"].T,
         setup["cvp"].reshape(-1, 9).T,
@@ -77,7 +86,8 @@ def pack_setup_tables(setup: Dict[str, jnp.ndarray]):
         setup["xmin"], setup["xmax"], setup["ymin"], setup["ymax"],
         jnp.where(setup["is_tex"], setup["tex"] << 18, -1),
         setup["is_tex"].astype(jnp.int32),
-    ], axis=0).astype(jnp.int32)                          # (6, S)
+        jnp.asarray(gids, jnp.int32),
+    ], axis=0).astype(jnp.int32)                          # (7, S)
     return f32, i32
 
 
@@ -117,19 +127,26 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
 
 
 def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
-                   bilinear: bool = False, phases: str = "full"):
+                   bilinear: bool = False, phases: str = "full",
+                   track_ids: bool = False):
     """Kernel factory: visibility + in-kernel shading and texture fetch per tile.
 
     ``phases`` is a timing instrument (tools/perf_probe.py): "vis" stops after
     visibility, "shade" skips the texel fetch — outputs are then WRONG; only
-    "full" renders correctly.
+    "full" renders correctly. ``track_ids`` adds a third output plane with the
+    winners' GLOBAL setup ids (row _GID) — only needed by spatially-partitioned
+    multipass merges, so single-pass frames don't pay for it.
     """
     assert tile_w == 128 and tile_h in (8, 16, 32, 64), \
         "in-kernel texel fetch assumes 128-lane tiles with pow2 sublane height"
 
     def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_hbm, atlas_ref,
-               pix_ref, ooz_ref,
-               ids_ref, ids_sem):
+               *out_and_scratch):
+        if track_ids:
+            pix_ref, ooz_ref, gid_ref, ids_ref, ids_sem = out_and_scratch
+        else:
+            pix_ref, ooz_ref, ids_ref, ids_sem = out_and_scratch
+            gid_ref = None
         # Grid (B, nty, ntx): the camera-batch axis rides the grid (serving /
         # multi-view path); per-frame tables are delivered per-b by the block
         # index maps, so the body below is written for one frame.
@@ -165,7 +182,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 
         # ---- phase 1: visibility ----
         def vis_body(i, carry):
-            best, win = carry
+            best, win = carry[0], carry[1]
             s = ids_ref[i >> 7, i & 127]
             w0, w1, w2 = weights(s)
             cover = (
@@ -177,12 +194,19 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                    + w2 * trf_ref[_RVZ + 2, s])
             ooz = jnp.where(cover, ooz, 0.0)
             upd = ooz > best  # strict: earlier slot wins depth ties
-            return jnp.where(upd, ooz, best), jnp.where(upd, s, win)
+            out = (jnp.where(upd, ooz, best), jnp.where(upd, s, win))
+            if track_ids:
+                out += (jnp.where(upd, tri_ref[_GID, s], carry[2]),)
+            return out
 
-        best, win = jax.lax.fori_loop(
-            0, n, vis_body,
-            (jnp.zeros((tile_h, tile_w), jnp.float32),
-             jnp.full((tile_h, tile_w), -1, jnp.int32)))
+        neg1 = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        carry0 = (jnp.zeros((tile_h, tile_w), jnp.float32), neg1)
+        if track_ids:
+            carry0 += (neg1,)
+        vis_out = jax.lax.fori_loop(0, n, vis_body, carry0)
+        best, win = vis_out[0], vis_out[1]
+        if track_ids:
+            gid_ref[0] = vis_out[2]
 
         if phases == "vis":  # timing instrument: stop after visibility
             pix_ref[0] = win
@@ -194,10 +218,16 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             return jax.lax.rsqrt(x * x + y * y + z * z)
 
         def shade_body(i, carry):
-            pix, shade, planes, tm = carry
             s = ids_ref[i >> 7, i & 127]
             mask = win == s
+            # Skip slots that won nothing in this tile (an any-reduce + branch
+            # vs ~60 vector ops of interpolation/lighting): with overdraw or
+            # multipass splits, most binned slots lose everywhere.
+            return jax.lax.cond(jnp.any(mask), lambda c: _shade_slot(s, mask, c),
+                                lambda c: c, carry)
 
+        def _shade_slot(s, mask, carry):
+            pix, shade, planes, tm = carry
             w0, w1, w2 = weights(s)
             inv = 1.0 / best  # best > 0 wherever mask holds
             t0, t1, t2 = w0 * inv, w1 * inv, w2 * inv  # w / (1/z)
@@ -468,7 +498,8 @@ def _rasterize_chunk(
     interpret: bool,
     sampling: str,
     phases: str = "full",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    gids: jnp.ndarray | None = None,   # (S,) global ids (enables id tracking)
+) -> Tuple[jnp.ndarray, ...]:
     """One kernel pass over <= MAX_SLOTS_PER_PASS setup slots.
 
     ``setup`` arrays carry a leading camera-batch axis B (B=1 for a single
@@ -488,8 +519,9 @@ def _rasterize_chunk(
     k = max(8, _cdiv(_cdiv(s, 128), 8) * 8)
     s_pad = k * 128
     ids = jnp.pad(ids, ((0, 0), (0, 0), (0, s_pad - s))).reshape(-1, k, 128)
+    track_ids = gids is not None
     y0 = jnp.asarray(y_offset, jnp.int32).reshape(1, 1)
-    trf, tri = jax.vmap(pack_setup_tables)(setup)                # (B, R, S)
+    trf, tri = jax.vmap(lambda st: pack_setup_tables(st, gids))(setup)  # (B, R, S)
     # Windowed (non-full) SMEM blocks need 8-aligned rows on TPU: pad each
     # frame's tables to 8-row multiples so a (rows, S) block of the flattened
     # (B*rows, S) array selects frame b by block index — the kernel body stays
@@ -526,9 +558,10 @@ def _rasterize_chunk(
     out_shape = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
         (bsz, nty * tile_h, ntx * tile_w), dt)
 
-    pix, ooz = pl.pallas_call(
+    outs = pl.pallas_call(
         _raster_kernel(tile_h, tile_w, background, atlas_rows,
-                       bilinear=(sampling == "bilinear"), phases=phases),
+                       bilinear=(sampling == "bilinear"), phases=phases,
+                       track_ids=track_ids),
         grid=(bsz, nty, ntx),
         in_specs=[
             smem_b(8, nty * ntx),           # frame b's per-tile counts
@@ -543,8 +576,9 @@ def _rasterize_chunk(
             pl.BlockSpec((atlas_rows, 512), lambda b, ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_tile(), out_tile()],
-        out_shape=[out_shape(jnp.int32), out_shape(jnp.float32)],
+        out_specs=[out_tile()] * (3 if track_ids else 2),
+        out_shape=([out_shape(jnp.int32), out_shape(jnp.float32)]
+                   + ([out_shape(jnp.int32)] if track_ids else [])),
         scratch_shapes=[
             # this tile's id list, (k, 128) lane- and sublane-padded
             pltpu.SMEM((k, 128), jnp.int32),
@@ -552,12 +586,13 @@ def _rasterize_chunk(
         ],
         interpret=interpret,
     )(counts, trf, tri, y0, ids, atlas)
-    return (pix[:, :height, :width].astype(jnp.uint32),
-            ooz[:, :height, :width])
+    return tuple(o[:, :height, :width].astype(dt) for o, dt in zip(
+        outs, (jnp.uint32, jnp.float32, jnp.int32)))
 
 
 @partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
-                                   "tile_w", "interpret", "sampling", "phases"))
+                                   "tile_w", "interpret", "sampling", "phases",
+                                   "spatial"))
 def rasterize_pallas(
     setup: Dict[str, jnp.ndarray],
     textures: jnp.ndarray,
@@ -571,6 +606,7 @@ def rasterize_pallas(
     interpret: bool = False,
     sampling: str = "nearest",
     phases: str = "full",
+    spatial: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full rasterize + shade; returns (pixels (H, W) uint32, depth (H, W) f32).
 
@@ -581,14 +617,16 @@ def rasterize_pallas(
     """
     batched = jax.tree.map(lambda a: a[None], setup)
     pix, ooz = _rasterize_multipass(
-        batched, textures, width=width, height=height, background=background,
-        tile_h=tile_h, tile_w=tile_w, y_offset=y_offset, interpret=interpret,
-        sampling=sampling, phases=phases)
+        batched, textures, spatial=spatial, width=width, height=height,
+        background=background, tile_h=tile_h, tile_w=tile_w,
+        y_offset=y_offset, interpret=interpret, sampling=sampling,
+        phases=phases)
     return pix[0], ooz[0]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
-                                   "tile_w", "interpret", "sampling", "phases"))
+                                   "tile_w", "interpret", "sampling", "phases",
+                                   "spatial"))
 def rasterize_pallas_batch(
     setup: Dict[str, jnp.ndarray],  # leading camera-batch axis B on every array
     textures: jnp.ndarray,
@@ -602,32 +640,72 @@ def rasterize_pallas_batch(
     interpret: bool = False,
     sampling: str = "nearest",
     phases: str = "full",
+    spatial: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched rasterize: (B, H, W) pixels/depth from a setup table with a
     leading camera-batch axis. The batch rides the kernel grid (B, nty, ntx) —
     one dispatch renders all B frames (the serving path; jax cannot vmap
     through a compiled pallas_call)."""
     return _rasterize_multipass(
-        setup, textures, width=width, height=height, background=background,
-        tile_h=tile_h, tile_w=tile_w, y_offset=y_offset, interpret=interpret,
-        sampling=sampling, phases=phases)
+        setup, textures, spatial=spatial, width=width, height=height,
+        background=background, tile_h=tile_h, tile_w=tile_w,
+        y_offset=y_offset, interpret=interpret, sampling=sampling,
+        phases=phases)
 
 
-def _rasterize_multipass(setup, textures, **kw):
+def _rasterize_multipass(setup, textures, spatial=False, **kw):
     s = setup["live"].shape[1]
     if s <= MAX_SLOTS_PER_PASS:
-        return _rasterize_chunk(setup, textures, **kw)
-    pix = ooz = None
+        pix, ooz = _rasterize_chunk(setup, textures, **kw)
+        return pix, ooz
+
+    if not spatial:
+        # Sequential ascending slot ranges: a later pass only wins a pixel on
+        # strictly greater 1/z, which preserves the reference's
+        # earlier-triangle depth-tie order across the split (render.swift:324)
+        # with no extra outputs.
+        pix = ooz = None
+        for c0 in range(0, s, MAX_SLOTS_PER_PASS):
+            sub = {key: v[:, c0: c0 + MAX_SLOTS_PER_PASS]
+                   for key, v in setup.items()}
+            p, o = _rasterize_chunk(sub, textures, **kw)
+            if pix is None:
+                pix, ooz = p, o
+            else:
+                upd = o > ooz
+                pix = jnp.where(upd, p, pix)
+                ooz = jnp.where(upd, o, ooz)
+        return pix, ooz
+
+    # Spatial slot partitioning: order slots by their bbox's top row (dead
+    # slots last), so each pass's triangles cluster in a horizontal band and
+    # the rest of the grid runs near-empty (count-0 tiles skip visibility,
+    # shading AND the texel fetch; the clip-headroom dead half of the table
+    # collapses into all-dead trailing passes). Uses frame 0's geometry for
+    # the order — camera batches share the scene, so bands stay coherent.
+    # Exactness across the permutation: each pass outputs its winners' GLOBAL
+    # setup ids, and the merge prefers, at equal depth, the smaller global id
+    # — the reference's earlier-triangle-wins order (render.swift:324) no
+    # matter how slots were split into passes. Within a pass, ids are sorted
+    # ascending so the kernel's strict in-pass rule keeps the same order.
+    # Measured: helps geometry spread across the frame; for scenes whose
+    # triangles concentrate in one band the id plane/merge costs ~0.2 ms/pass
+    # with no tile savings — hence opt-in.
+    order = jnp.argsort(jnp.where(setup["live"][0], setup["ymin"][0],
+                                  jnp.int32(2**30)))
+    pix = ooz = gid = None
     for c0 in range(0, s, MAX_SLOTS_PER_PASS):
-        sub = {key: v[:, c0: c0 + MAX_SLOTS_PER_PASS]
-               for key, v in setup.items()}
-        p, o = _rasterize_chunk(sub, textures, **kw)
+        sel = jnp.sort(order[c0: c0 + MAX_SLOTS_PER_PASS])
+        sub = {key: v[:, sel] for key, v in setup.items()}
+        p, o, g = _rasterize_chunk(sub, textures, gids=sel, **kw)
         if pix is None:
-            pix, ooz = p, o
+            pix, ooz, gid = p, o, g
         else:
-            upd = o > ooz
+            upd = (o > ooz) | ((o == ooz) & (g >= 0)
+                              & ((gid < 0) | (g < gid)))
             pix = jnp.where(upd, p, pix)
             ooz = jnp.where(upd, o, ooz)
+            gid = jnp.where(upd, g, gid)
     return pix, ooz
 
 

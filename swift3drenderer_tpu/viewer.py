@@ -68,6 +68,15 @@ document.addEventListener('keyup', (e) => {
   const k = keymap(e); if (!k) return;
   delete keys[k]; post({key: [k, false]});
 });
+// Drag-resize follows the window (debounced); the renderer compiles per
+// resolution bucket, so sweeping sizes never stalls on recompiles.
+let rt;
+window.addEventListener('resize', () => {
+  clearTimeout(rt);
+  rt = setTimeout(() => post({resize: [
+    Math.max(128, window.innerWidth - 16),
+    Math.max(64, window.innerHeight - 48)]}), 200);
+});
 </script></body></html>"""
 
 
@@ -243,9 +252,11 @@ def run_serve(scene, *, width: int, height: int, backend: str = "xla",
     from .config import DEFAULT_CONFIG
     from .utils.telemetry import FrameStats
 
+    # Bucketed: browser-driven live resizes must never stall on per-size
+    # recompiles.
     loop = FrameLoop(scene, width, height,
                      config=config or DEFAULT_CONFIG, backend=backend,
-                     stats=FrameStats())
+                     stats=FrameStats(), bucketed=True)
     server = ViewerServer(loop, host=host, port=port, fps=fps)
     print(f"serving live view on http://{host}:{server.port}/", flush=True)
     return server.serve_forever(max_frames=max_frames)

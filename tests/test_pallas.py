@@ -112,6 +112,33 @@ def test_pallas_multi_pass_large_scene():
     assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004
 
 
+def test_pallas_multipass_spatial_matches_golden():
+    # Spatial slot partitioning reorders slots across passes; the
+    # global-winner-id merge must still resolve depth ties to the smallest
+    # original slot id (reference order), so output matches golden exactly
+    # where the sequential multipass does.
+    from swift3drenderer_tpu.models import stress_scene
+    from swift3drenderer_tpu.ops.raster_pallas import (
+        MAX_SLOTS_PER_PASS, rasterize_pallas)
+
+    scene = stress_scene(seed=0, objects=128)
+    assert 2 * scene.num_triangles > MAX_SLOTS_PER_PASS
+    dev = scene_to_device(scene)
+    m = jnp.asarray(identity_camera(), jnp.float32)
+    setup = build_setup(dev, m, width=160, height=120, config=DEFAULT_CONFIG)
+    seq_px, seq_d = rasterize_pallas(
+        setup, dev["textures"], width=160, height=120,
+        background=DEFAULT_CONFIG.background_packed, interpret=True)
+    sp_px, sp_d = rasterize_pallas(
+        setup, dev["textures"], width=160, height=120,
+        background=DEFAULT_CONFIG.background_packed, interpret=True,
+        spatial=True)
+    np.testing.assert_array_equal(np.asarray(sp_px), np.asarray(seq_px))
+    np.testing.assert_array_equal(np.asarray(sp_d), np.asarray(seq_d))
+    gp, _ = golden_render(scene, np.asarray(m), 160, 120)
+    assert pixel_mismatch_fraction(gp, np.asarray(sp_px), tol=1) < 0.004
+
+
 def test_pallas_render_batch():
     scene = tetrahedron_scene(seed=0)
     m = identity_camera()
