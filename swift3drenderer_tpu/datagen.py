@@ -25,7 +25,10 @@ from .utils.ripmap import build_ripmap_atlas
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="python -m swift3drenderer_tpu.datagen")
     p.add_argument("--scene", default="default", choices=sorted(SCENES))
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", default="0",
+                   help="integer seed, or 'none' for OS entropy — the "
+                        "reference generator's unseeded Float.random behavior "
+                        "(data-generator/main.swift:13-32)")
     p.add_argument("--out", required=True)
     p.add_argument("--atlas", default=None, metavar="BASE_PPM",
                    help="instead of a scene, build a 512x512 ripmap atlas PPM "
@@ -65,8 +68,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             words.append(pack_rgb_words(img))
         textures = np.stack(words).astype(np.uint32)
 
-    scene = SCENES[args.scene](seed=args.seed, textures=textures) \
-        if textures is not None else SCENES[args.scene](seed=args.seed)
+    seed = None if str(args.seed).lower() == "none" else int(args.seed)
+    scene = SCENES[args.scene](seed=seed, textures=textures) \
+        if textures is not None else SCENES[args.scene](seed=seed)
     data = dump_scene(scene, args.out)
     print(f"wrote {args.out}: {len(data)} bytes, {scene.num_vertices} vertices, "
           f"{scene.num_triangles} triangles, {scene.num_textures} textures")

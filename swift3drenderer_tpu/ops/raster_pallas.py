@@ -192,18 +192,27 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             )
             ooz = (w0 * trf_ref[_RVZ + 0, s] + w1 * trf_ref[_RVZ + 1, s]
                    + w2 * trf_ref[_RVZ + 2, s])
-            ooz = jnp.where(cover, ooz, 0.0)
+            # i < n guards the 2-wide unroll's odd tail: position n holds a
+            # real slot index that does NOT touch this tile — usually its
+            # bbox test fails, but a culled (dead) slot's table row could
+            # spuriously pass.
+            ooz = jnp.where(cover & (i < n), ooz, 0.0)
             upd = ooz > best  # strict: earlier slot wins depth ties
             out = (jnp.where(upd, ooz, best), jnp.where(upd, s, win))
             if track_ids:
                 out += (jnp.where(upd, tri_ref[_GID, s], carry[2]),)
             return out
 
+        def vis_body2(i, carry):
+            # 2-wide unroll: halves the loop bookkeeping; the odd tail reads a
+            # padded non-touching id whose bbox test fails (cover stays False).
+            return vis_body(2 * i + 1, vis_body(2 * i, carry))
+
         neg1 = jnp.full((tile_h, tile_w), -1, jnp.int32)
         carry0 = (jnp.zeros((tile_h, tile_w), jnp.float32), neg1)
         if track_ids:
             carry0 += (neg1,)
-        vis_out = jax.lax.fori_loop(0, n, vis_body, carry0)
+        vis_out = jax.lax.fori_loop(0, (n + 1) >> 1, vis_body2, carry0)
         best, win = vis_out[0], vis_out[1]
         if track_ids:
             gid_ref[0] = vis_out[2]
@@ -660,6 +669,10 @@ def _rasterize_multipass(setup, textures, spatial=False, **kw):
         return pix, ooz
 
     if not spatial:
+        # (A live-first compaction of the slot table was measured 8% SLOWER
+        # at 10k triangles: the clip-headroom dead half already sits
+        # contiguously at the tail — trailing passes are near grid-only cost
+        # as-is — so compaction only added a full-table gather.)
         # Sequential ascending slot ranges: a later pass only wins a pixel on
         # strictly greater 1/z, which preserves the reference's
         # earlier-triangle depth-tie order across the split (render.swift:324)

@@ -111,6 +111,19 @@ def test_validate_rejects_bad_index():
         s.validate()
 
 
+def test_datagen_entropy_seed(tmp_path):
+    # --seed none = the reference generator's unseeded Float.random behavior
+    # (data-generator/main.swift:13-32): two runs differ, layout stays valid.
+    from swift3drenderer_tpu.datagen import main as datagen_main
+    p1, p2 = str(tmp_path / "e1.bin"), str(tmp_path / "e2.bin")
+    datagen_main(["--scene", "default", "--seed", "none", "--out", p1])
+    datagen_main(["--scene", "default", "--seed", "none", "--out", p2])
+    s1, s2 = load_scene(p1), load_scene(p2)
+    s1.validate(), s2.validate()
+    assert s1.num_triangles == s2.num_triangles == 51
+    assert not np.array_equal(s1.vertices, s2.vertices)
+
+
 def test_validate_rejects_textured_attrs_without_textures():
     # Regression: a zero-texture scene with textured attributes must fail
     # validation (texture index 0 is out of range), not IndexError at render.

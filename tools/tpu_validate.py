@@ -71,6 +71,33 @@ def main() -> int:
         print(f"{'PASS' if ok else 'FAIL'}  {name:22s} "
               f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
               flush=True)
+
+    # Row-band sharded kernel path on hardware: render the default scene as
+    # two y_offset bands (the exact per-device computation of the fb-sharded
+    # mesh, bilinear sampling) and stitch — must match a golden full frame.
+    from swift3drenderer_tpu.ops.raster_pallas import rasterize_pallas
+    from swift3drenderer_tpu.renderer import build_setup
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, sampling="bilinear")
+    scene = SCENES["default"](seed=0)
+    dev = scene_to_device(scene)
+    m = jnp.asarray(Camera().update(Input(), force_update=True), jnp.float32)
+    setup = build_setup(dev, m, width=320, height=240, config=cfg)
+    bands = []
+    for y0 in (0, 120):
+        px, _ = rasterize_pallas(
+            setup, dev["textures"], width=320, height=120,
+            background=cfg.background_packed, y_offset=y0,
+            interpret=(jax.default_backend() == "cpu"), sampling=cfg.sampling)
+        bands.append(np.asarray(px))
+    gp, _ = golden_render(scene, np.asarray(m), 320, 240, config=cfg)
+    frac = mismatch(gp, np.concatenate(bands, axis=0))
+    ok = frac < 0.005
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'banded+bilinear':22s} "
+          f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+          flush=True)
+
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
