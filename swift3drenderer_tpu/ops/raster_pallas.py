@@ -365,11 +365,12 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         @pl.when(jnp.max(tm) > 0)
         def _fetch_phase():
             num_tex = max(atlas_rows // ATLAS_EDGE, 1)
-            zf8 = jnp.zeros((8, tile_w), jnp.float32)
+            sph = min(_FETCH_STRIP_H, tile_h)
+            zf8 = jnp.zeros((sph, tile_w), jnp.float32)
 
             def fetch_strip(strip):
-                """Fetch one 8-row pixel strip's texels: (active, coordinate
-                planes) sliced to (8, tile_w), one vreg per vector op."""
+                """Fetch one pixel strip's texels: (active, coordinate
+                planes) sliced to (sph, tile_w)."""
                 active = strip[0] != 0
                 if not bilinear:
                     _, LY0, LX0 = strip
@@ -416,6 +417,9 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                                 y = b * 8 + r
                                 rowsel = jnp.full((8, tile_w), r, jnp.int32)
                                 rowb = jnp.take_along_axis(block, rowsel, axis=0)
+                                if sph > 8:
+                                    rowb = jnp.concatenate(
+                                        [rowb] * (sph // 8), axis=0)
                                 if not bilinear:
                                     g = jnp.take_along_axis(rowb, ln0, axis=1)
                                     sel = active & (LY0 == y) & (ch0 == c)
@@ -455,8 +459,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # coordinate planes and no per-triangle work repeats.) The strip
             # is skipped entirely when it has no textured winners.
             strips = []
-            for si in range(tile_h // 8):
-                sl = slice(si * 8, si * 8 + 8)
+            for si in range(tile_h // sph):
+                sl = slice(si * sph, si * sph + sph)
                 strip = tuple(p[sl] for p in (tm,) + planes)
 
                 def run(strip=strip):
@@ -485,6 +489,18 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 # SMEM: 48-row f32 + 8-row i32 tables at 4 B/lane, plus counts and scratch).
 # Larger scenes render in multiple passes merged by depth below.
 MAX_SLOTS_PER_PASS = 2048
+
+# Single-frame passes can double the cap: B=1 SMEM tables are full-resident
+# (no per-b window double-buffering), so a 4096-slot table (~940 KB with
+# counts + scratch) still fits the 1 MB SMEM. Validated on-chip.
+MAX_SLOTS_PER_PASS_B1 = 4096
+
+# Pixel-strip height of the texel-fetch phase (multiple of 8; <= tile_h).
+# Measured on-chip at 1080p full scene: 8 -> 1.47 ms, 16 -> 1.25, 32 -> 1.24
+# (wider strips amortize the block loads and per-strip range reductions and
+# still broadcast rows from one 8-row block load; row-range unions widen but
+# stay within each texture's level cluster).
+_FETCH_STRIP_H = 32
 
 # VMEM budget for the resident texture atlas (1 MB per 512x512 texture).
 # Probed on-chip (tools; 2026-08-16): a 96 MB atlas compiles and renders
@@ -663,8 +679,9 @@ def rasterize_pallas_batch(
 
 
 def _rasterize_multipass(setup, textures, spatial=False, **kw):
-    s = setup["live"].shape[1]
-    if s <= MAX_SLOTS_PER_PASS:
+    bsz, s = setup["live"].shape
+    cap = MAX_SLOTS_PER_PASS_B1 if bsz == 1 else MAX_SLOTS_PER_PASS
+    if s <= cap:
         pix, ooz = _rasterize_chunk(setup, textures, **kw)
         return pix, ooz
 
@@ -678,8 +695,8 @@ def _rasterize_multipass(setup, textures, spatial=False, **kw):
         # earlier-triangle depth-tie order across the split (render.swift:324)
         # with no extra outputs.
         pix = ooz = None
-        for c0 in range(0, s, MAX_SLOTS_PER_PASS):
-            sub = {key: v[:, c0: c0 + MAX_SLOTS_PER_PASS]
+        for c0 in range(0, s, cap):
+            sub = {key: v[:, c0: c0 + cap]
                    for key, v in setup.items()}
             p, o = _rasterize_chunk(sub, textures, **kw)
             if pix is None:
@@ -707,8 +724,8 @@ def _rasterize_multipass(setup, textures, spatial=False, **kw):
     order = jnp.argsort(jnp.where(setup["live"][0], setup["ymin"][0],
                                   jnp.int32(2**30)))
     pix = ooz = gid = None
-    for c0 in range(0, s, MAX_SLOTS_PER_PASS):
-        sel = jnp.sort(order[c0: c0 + MAX_SLOTS_PER_PASS])
+    for c0 in range(0, s, cap):
+        sel = jnp.sort(order[c0: c0 + cap])
         sub = {key: v[:, sel] for key, v in setup.items()}
         p, o, g = _rasterize_chunk(sub, textures, gids=sel, **kw)
         if pix is None:
