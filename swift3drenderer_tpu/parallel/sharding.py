@@ -109,6 +109,129 @@ def render_batch_sharded(
     return fn(dev, matrices)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "config", "mesh",
+                                   "backend", "interpret"))
+def render_scene_sharded(
+    dev: Dict[str, jnp.ndarray],
+    m: jnp.ndarray,            # (3, 4) single camera
+    *,
+    width: int,
+    height: int,
+    config: RenderConfig = DEFAULT_CONFIG,
+    mesh: Mesh,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Triangle-sharded rendering — the scene (model) parallelism axis.
+
+    Each device rasterizes an equal slice of the setup-table slots over the
+    FULL framebuffer, then frames merge across the mesh by depth: an
+    all_gather over ICI followed by a local (1/z, global-id) lexicographic
+    reduce. Ties resolve to the smallest global slot id — the reference's
+    earlier-triangle-wins order (render.swift:324) independent of the shard
+    split. Complements the fb/frame axes in render_batch_sharded: use this
+    when the TRIANGLE COUNT is the scaling dimension (each device's pass
+    count shrinks by the mesh size; pixels are replicated work).
+
+    Only the pallas backend carries the exact-tie winner ids; the xla backend
+    merges on strictly-greater depth (ties then favor lower-ranked devices,
+    which hold lower slot ranges — still reference order).
+    """
+    from ..ops.raster_pallas import _rasterize_multipass
+
+    n = mesh.devices.size
+    axes = tuple(mesh.axis_names)
+    s = dev["vi"].shape[0] * 2  # clip prepass slots
+    s_pad = -(-s // n) * n      # dead-padded to a device multiple
+    local = s_pad // n
+
+    def shard_fn(dev_rep, m_rep):
+        setup = build_setup(dev_rep, m_rep, width=width, height=height,
+                            config=config)
+        if s_pad != s:
+            setup = {k: jnp.pad(v, ((0, s_pad - s),) + ((0, 0),) * (v.ndim - 1))
+                     for k, v in setup.items()}  # pads live=False slots
+        rank = jax.lax.axis_index(axes[0])
+        if len(axes) > 1:
+            rank = rank * mesh.shape[axes[1]] + jax.lax.axis_index(axes[1])
+        lo = rank * local
+        sub = {k: jax.lax.dynamic_slice_in_dim(v, lo, local, axis=0)
+               for k, v in setup.items()}
+        gids = lo + jnp.arange(local, dtype=jnp.int32)
+        batched = jax.tree.map(lambda a: a[None], sub)
+        if backend == "pallas":
+            pix, ooz, gid = _rasterize_chunked_ids(
+                batched, dev_rep["textures"], gids=gids, width=width,
+                height=height, config=config, interpret=interpret)
+        else:
+            from ..ops.raster_xla import rasterize
+
+            pix, ooz = rasterize(
+                sub, dev_rep["textures"], width=width, height=height,
+                background=config.background_packed, sampling=config.sampling)
+            gid = jnp.where(ooz > 0, lo, jnp.int32(2 ** 30))
+
+        # Depth-composite across the mesh: gather every shard's frame over
+        # ICI and reduce locally by (max 1/z, then min global id).
+        parts_pix = jax.lax.all_gather(pix, axes)   # (n, H, W)
+        parts_ooz = jax.lax.all_gather(ooz, axes)
+        parts_gid = jax.lax.all_gather(gid, axes)
+        bg = jnp.uint32(config.background_packed)
+
+        def merge(carry, part):
+            cpix, cooz, cgid = carry
+            ppix, pooz, pgid = part
+            upd = (pooz > cooz) | ((pooz == cooz) & (pooz > 0)
+                                   & (pgid < cgid))
+            return (jnp.where(upd, ppix, cpix), jnp.where(upd, pooz, cooz),
+                    jnp.where(upd, pgid, cgid)), None
+
+        (fpix, fooz, _), _ = jax.lax.scan(
+            merge,
+            (jnp.full((height, width), bg, jnp.uint32),
+             jnp.zeros((height, width), jnp.float32),
+             jnp.full((height, width), 2 ** 30, jnp.int32)),
+            (parts_pix, parts_ooz, parts_gid))
+        return fpix, fooz
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), dev), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(dev, m)
+
+
+def _rasterize_chunked_ids(batched, textures, *, gids, width, height, config,
+                           interpret):
+    """Multipass over a local slot range, keeping winner ids for the
+    cross-device merge. Returns (pix (H,W), ooz (H,W), gid (H,W))."""
+    from ..ops.raster_pallas import MAX_SLOTS_PER_PASS_B1, _rasterize_chunk
+
+    s = batched["live"].shape[1]
+    pix = ooz = gid = None
+    for c0 in range(0, s, MAX_SLOTS_PER_PASS_B1):
+        sub = {k: v[:, c0: c0 + MAX_SLOTS_PER_PASS_B1]
+               for k, v in batched.items()}
+        g = jax.lax.dynamic_slice_in_dim(
+            gids, c0, min(MAX_SLOTS_PER_PASS_B1, s - c0), axis=0)
+        p, o, gg = _rasterize_chunk(
+            sub, textures, gids=g, width=width, height=height,
+            background=config.background_packed, tile_h=64, tile_w=128,
+            y_offset=0, interpret=interpret, sampling=config.sampling)
+        p, o, gg = p[0], o[0], gg[0]
+        gg = jnp.where(o > 0, gg, 2 ** 30)
+        if pix is None:
+            pix, ooz, gid = p, o, gg
+        else:
+            upd = (o > ooz) | ((o == ooz) & (o > 0) & (gg < gid))
+            pix = jnp.where(upd, p, pix)
+            ooz = jnp.where(upd, o, ooz)
+            gid = jnp.where(upd, gg, gid)
+    return pix, ooz, gid
+
+
 class ShardedRenderer:
     """Multi-device front-end mirroring Renderer's API for camera batches."""
 
