@@ -368,15 +368,22 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             sph = min(_FETCH_STRIP_H, tile_h)
             zf8 = jnp.zeros((sph, tile_w), jnp.float32)
 
+            zi8 = jnp.zeros((sph, tile_w), jnp.int32)
+
             def fetch_strip(strip):
                 """Fetch one pixel strip's texels: (active, coordinate
-                planes) sliced to (sph, tile_w)."""
+                planes) sliced to (sph, tile_w). Nearest accumulates the
+                PACKED texel (one select per row, unpacked once at the end);
+                bilinear accumulates weighted float channels."""
                 active = strip[0] != 0
                 if not bilinear:
                     _, LY0, LX0 = strip
                     LYMIN = LYMAX = LY0
                     ch0, ln0 = LX0 >> 7, LX0 & 127
                     CHMIN = CHMAX = ch0
+                    # Fused row+chunk match key: one compare per unrolled row
+                    # instead of two compares + two ands.
+                    KEY = jnp.where(active, (LY0 << 2) | ch0, -1)
                 else:
                     _, LY0, LX0, LY1, LX1, WX, WY = strip
                     LYMIN, LYMAX = jnp.minimum(LY0, LY1), jnp.maximum(LY0, LY1)
@@ -410,7 +417,10 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # wasted rows are a few cheap vector ops.
                     def block_body(b, acc):
                         def chunk_body(c, acc):
-                            ar, ag, ab = acc
+                            if bilinear:
+                                ar, ag, ab = acc
+                            else:
+                                (gp,) = acc
                             block = atlas_ref[pl.ds(pl.multiple_of(b * 8, 8), 8),
                                               pl.ds(pl.multiple_of(c * 128, 128), 128)]
                             for r in range(8):
@@ -422,10 +432,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                                         [rowb] * (sph // 8), axis=0)
                                 if not bilinear:
                                     g = jnp.take_along_axis(rowb, ln0, axis=1)
-                                    sel = active & (LY0 == y) & (ch0 == c)
-                                    ar = jnp.where(sel, ((g >> 16) & 0xFF).astype(jnp.float32), ar)
-                                    ag = jnp.where(sel, ((g >> 8) & 0xFF).astype(jnp.float32), ag)
-                                    ab = jnp.where(sel, (g & 0xFF).astype(jnp.float32), ab)
+                                    gp = jnp.where(KEY == ((y << 2) | c), g, gp)
                                 else:
                                     yw = (jnp.where(active & (LY0 == y), 1.0 - WY, 0.0)
                                           + jnp.where(active & (LY1 == y), WY, 0.0))
@@ -439,15 +446,15 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                                     ar = ar + yw * r_
                                     ag = ag + yw * g_
                                     ab = ab + yw * b_
-                            return ar, ag, ab
+                            return (ar, ag, ab) if bilinear else (gp,)
 
                         return jax.lax.fori_loop(cmin, cmax + 1, chunk_body, acc)
 
                     return jax.lax.fori_loop(rmin >> 3, (rmax >> 3) + 1,
                                              block_body, acc)
 
-                return jax.lax.fori_loop(tmin, tmax + 1, fetch_tex,
-                                         (zf8, zf8, zf8))
+                acc0 = (zf8, zf8, zf8) if bilinear else (zi8,)
+                return jax.lax.fori_loop(tmin, tmax + 1, fetch_tex, acc0)
 
             # The fetch runs per 8-row pixel STRIP (one vreg), not per full
             # tile: an atlas-row iteration's masked selects cost O(strip)
@@ -459,6 +466,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # coordinate planes and no per-triangle work repeats.) The strip
             # is skipped entirely when it has no textured winners.
             strips = []
+            empty = (zf8, zf8, zf8) if bilinear else (zi8,)
             for si in range(tile_h // sph):
                 sl = slice(si * sph, si * sph + sph)
                 strip = tuple(p[sl] for p in (tm,) + planes)
@@ -466,13 +474,18 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 def run(strip=strip):
                     return fetch_strip(strip)
 
-                ar, ag, ab = jax.lax.cond(
-                    jnp.max(strip[0]) > 0, run, lambda: (zf8, zf8, zf8))
-                strips.append((ar, ag, ab))
+                strips.append(jax.lax.cond(
+                    jnp.max(strip[0]) > 0, run, lambda: empty))
 
-            ar = jnp.concatenate([s[0] for s in strips], axis=0)
-            ag = jnp.concatenate([s[1] for s in strips], axis=0)
-            ab = jnp.concatenate([s[2] for s in strips], axis=0)
+            if bilinear:
+                ar = jnp.concatenate([s[0] for s in strips], axis=0)
+                ag = jnp.concatenate([s[1] for s in strips], axis=0)
+                ab = jnp.concatenate([s[2] for s in strips], axis=0)
+            else:
+                gp = jnp.concatenate([s[0] for s in strips], axis=0)
+                ar = ((gp >> 16) & 0xFF).astype(jnp.float32)
+                ag = ((gp >> 8) & 0xFF).astype(jnp.float32)
+                ab = (gp & 0xFF).astype(jnp.float32)
 
             # Shade-multiply fetched texels (render.swift:330) and merge.
             tex_pix = (
