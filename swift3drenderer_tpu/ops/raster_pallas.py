@@ -137,7 +137,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
     winners' GLOBAL setup ids (row _GID) — only needed by spatially-partitioned
     multipass merges, so single-pass frames don't pay for it.
     """
-    assert tile_w == 128 and tile_h in (8, 16, 32, 64), \
+    assert tile_w == 128 and tile_h in (8, 16, 32, 64, 128), \
         "in-kernel texel fetch assumes 128-lane tiles with pow2 sublane height"
 
     def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_hbm, atlas_ref,
@@ -761,15 +761,21 @@ def render_frame_pallas(
     width: int,
     height: int,
     config: RenderConfig = DEFAULT_CONFIG,
-    tile_h: int = 64,
+    tile_h: int | None = None,
     tile_w: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full frame: geometry front-end + Pallas visibility/shading + texel fetch.
 
+    ``tile_h=None`` picks per resolution: 64 up to ~1440p, 128 at 4K+ (fewer
+    grid steps beat the coarser binning there — measured 3.78 -> 3.54 ms at
+    2160p; 64 stays faster at 1080p).
+
     Scenes whose texture set exceeds the kernel's VMEM atlas budget fall back to
     the XLA rasterizer (slower but unbounded — its texel fetch is an HBM gather).
     """
+    if tile_h is None:
+        tile_h = 128 if height >= 1600 else 64
     from ..renderer import build_setup
     from .raster_xla import rasterize
 
@@ -795,13 +801,15 @@ def render_batch_pallas(
     width: int,
     height: int,
     config: RenderConfig = DEFAULT_CONFIG,
-    tile_h: int = 64,
+    tile_h: int | None = None,
     tile_w: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batch of frames in ONE kernel dispatch: the camera axis rides the
     kernel grid (B, nty, ntx), so B frames cost ~B kernel-grid time with a
     single geometry front-end batch — no per-frame dispatch or lax.map."""
+    if tile_h is None:
+        tile_h = 128 if height >= 1600 else 64
     from ..renderer import build_setup
 
     setup = jax.vmap(lambda m: build_setup(

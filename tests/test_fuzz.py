@@ -64,3 +64,34 @@ def test_fuzz_golden_vs_pallas(trial):
     px, _ = Renderer(scene, backend="pallas").render(m, 160, 96)
     frac = pixel_mismatch_fraction(gp, px, tol=1)
     assert frac < 0.005, (name, frac)
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_fuzz_bucketed_matches_exact(trial):
+    # Bucketed live-resize path at random non-bucket sizes.
+    rng = np.random.default_rng(4000 + trial)
+    name = list(SCENES)[int(rng.integers(0, len(SCENES)))]
+    scene = SCENES[name](seed=int(rng.integers(0, 100)))
+    m = random_pose(rng)
+    w = int(rng.integers(130, 400))
+    h = int(rng.integers(70, 300))
+    r = Renderer(scene)
+    exact, _ = r.render(m, w, h)
+    buck, _ = r.render(m, w, h, bucketed=True)
+    assert buck.shape == (h, w)
+    frac = pixel_mismatch_fraction(exact, buck, tol=1)
+    assert frac < 5e-4, (name, w, h, frac)
+
+
+def test_fuzz_batch_matches_singles():
+    # Batched kernel grid: every frame of a random camera batch must equal
+    # its single-frame render bit-for-bit (same program structure per frame).
+    rng = np.random.default_rng(5000)
+    scene = SCENES["default"](seed=3)
+    ms = np.stack([random_pose(rng) for _ in range(3)])
+    r = Renderer(scene, backend="pallas")
+    batch_px, batch_d = r.render_batch(ms, 160, 96)
+    for b in range(3):
+        px, d = r.render(ms[b], 160, 96)
+        np.testing.assert_array_equal(np.asarray(batch_px[b]), px)
+        np.testing.assert_array_equal(np.asarray(batch_d[b]), d)

@@ -112,6 +112,23 @@ def test_pallas_multi_pass_large_scene():
     assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004
 
 
+def test_pallas_tile_h_128_matches_golden():
+    # tile_h=128 is the adaptive default at 4K+ (fewer grid steps); verify the
+    # tall-tile kernel against golden at a small size.
+    from swift3drenderer_tpu.ops.raster_pallas import rasterize_pallas
+
+    scene = default_scene(seed=0)
+    dev = scene_to_device(scene)
+    m = jnp.asarray(identity_camera(), jnp.float32)
+    setup = build_setup(dev, m, width=320, height=240, config=DEFAULT_CONFIG)
+    px, _ = rasterize_pallas(
+        setup, dev["textures"], width=320, height=240,
+        background=DEFAULT_CONFIG.background_packed, tile_h=128,
+        interpret=True)
+    gp, _ = golden_render(scene, np.asarray(m), 320, 240)
+    assert pixel_mismatch_fraction(gp, np.asarray(px), tol=1) < 0.002
+
+
 def test_pallas_multipass_spatial_matches_golden():
     # Spatial slot partitioning reorders slots across passes; the
     # global-winner-id merge must still resolve depth ties to the smallest
