@@ -203,16 +203,19 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 out += (jnp.where(upd, tri_ref[_GID, s], carry[2]),)
             return out
 
-        def vis_body2(i, carry):
-            # 2-wide unroll: halves the loop bookkeeping; the odd tail reads a
-            # padded non-touching id whose bbox test fails (cover stays False).
-            return vis_body(2 * i + 1, vis_body(2 * i, carry))
+        def vis_body4(i, carry):
+            # 4-wide unroll: quarters the loop bookkeeping; tail positions
+            # read padded non-touching ids whose coverage is force-masked by
+            # the i < n guard in vis_body.
+            for k in range(4):
+                carry = vis_body(4 * i + k, carry)
+            return carry
 
         neg1 = jnp.full((tile_h, tile_w), -1, jnp.int32)
         carry0 = (jnp.zeros((tile_h, tile_w), jnp.float32), neg1)
         if track_ids:
             carry0 += (neg1,)
-        vis_out = jax.lax.fori_loop(0, (n + 1) >> 1, vis_body2, carry0)
+        vis_out = jax.lax.fori_loop(0, (n + 3) >> 2, vis_body4, carry0)
         best, win = vis_out[0], vis_out[1]
         if track_ids:
             gid_ref[0] = vis_out[2]
@@ -559,7 +562,10 @@ def _rasterize_chunk(
     # (B*ntiles, k, 128) so the per-tile DMA slices a leading (untiled) dim —
     # single-row slices of a lane-tiled 2D memref are rejected by Mosaic, and k
     # itself must be sublane-aligned (multiple of 8) or the copy faults.
-    k = max(8, _cdiv(_cdiv(s, 128), 8) * 8)
+    # +3 margin: the 4-wide visibility unroll may read up to position n+2
+    # (guarded inactive), which must stay inside the padded table even when
+    # every slot touches one tile (n == s == s_pad otherwise possible).
+    k = max(8, _cdiv(_cdiv(s + 3, 128), 8) * 8)
     s_pad = k * 128
     ids = jnp.pad(ids, ((0, 0), (0, 0), (0, s_pad - s))).reshape(-1, k, 128)
     track_ids = gids is not None
