@@ -229,6 +229,10 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         def rsqrt3(x, y, z):
             return jax.lax.rsqrt(x * x + y * y + z * z)
 
+        # Loop-invariant: the winner depth is fixed after visibility, so the
+        # perspective divide happens once per tile, not per binned slot.
+        inv = 1.0 / best  # best > 0 wherever any mask holds
+
         def shade_body(i, carry):
             s = ids_ref[i >> 7, i & 127]
             mask = win == s
@@ -241,7 +245,6 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         def _shade_slot(s, mask, carry):
             pix, shade, planes, tm = carry
             w0, w1, w2 = weights(s)
-            inv = 1.0 / best  # best > 0 wherever mask holds
             t0, t1, t2 = w0 * inv, w1 * inv, w2 * inv  # w / (1/z)
 
             def interp3(base):

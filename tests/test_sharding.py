@@ -119,6 +119,27 @@ def test_triangle_sharded_matches_single_device():
     np.testing.assert_array_equal(np.asarray(depth), single_d)
 
 
+def test_triangle_sharded_multipass_shards():
+    # Each device's slot slice exceeds the single-pass cap -> per-shard
+    # multipass with winner-id carry, then the cross-device merge.
+    import jax.numpy as jnp
+    from swift3drenderer_tpu.models import stress_scene
+    from swift3drenderer_tpu.ops.raster_pallas import MAX_SLOTS_PER_PASS_B1
+    from swift3drenderer_tpu.parallel.sharding import render_scene_sharded
+    from swift3drenderer_tpu.renderer import Renderer, scene_to_device
+
+    scene = stress_scene(seed=0, objects=420)
+    assert 2 * scene.num_triangles // 2 > MAX_SLOTS_PER_PASS_B1
+    mesh = make_mesh(n_frame=1, n_fb=2)
+    m = _cameras(1)[0]
+    dev = scene_to_device(scene)
+    px, _ = render_scene_sharded(
+        dev, jnp.asarray(m, jnp.float32), width=160, height=120, mesh=mesh,
+        backend="pallas", interpret=True)
+    single_px, _ = Renderer(scene, backend="pallas").render(m, 160, 120)
+    np.testing.assert_array_equal(np.asarray(px), single_px)
+
+
 def test_triangle_sharded_xla_matches_golden():
     from swift3drenderer_tpu.parallel.sharding import render_scene_sharded
 
