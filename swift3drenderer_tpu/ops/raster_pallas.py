@@ -371,10 +371,23 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         @pl.when(jnp.max(tm) > 0)
         def _fetch_phase():
             num_tex = max(atlas_rows // ATLAS_EDGE, 1)
-            sph = min(_FETCH_STRIP_H, tile_h)
+            # The dominant fetch cost is the per-unrolled-row LANE GATHER,
+            # whose work scales with strip height x atlas rows scanned
+            # (microbenched at ~6 ns/vreg-gather vs ~10 ns for the block load
+            # and ~75 ns/iteration fori bookkeeping). Narrow 8-row strips
+            # minimize gather work (1-vreg gathers, per-sub-strip row ranges
+            # shrink ~2x) and the nearest path below flattens the loop nest so
+            # the extra strips don't multiply fixed costs.
+            sph = min(8 if not bilinear else _FETCH_STRIP_H, tile_h)
             zf8 = jnp.zeros((sph, tile_w), jnp.float32)
 
             zi8 = jnp.zeros((sph, tile_w), jnp.int32)
+
+            def tree_or(vals):
+                while len(vals) > 1:
+                    vals = [vals[i] | vals[i + 1] if i + 1 < len(vals)
+                            else vals[i] for i in range(0, len(vals), 2)]
+                return vals[0]
 
             def fetch_strip(strip):
                 """Fetch one pixel strip's texels: (active, coordinate
@@ -390,6 +403,46 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # Fused row+chunk match key: one compare per unrolled row
                     # instead of two compares + two ands.
                     KEY = jnp.where(active, (LY0 << 2) | ch0, -1)
+
+                    def block_contribs(b, c):
+                        """Masked texel contributions of one 8-row atlas block
+                        at chunk c: each pixel's (row, chunk) key matches
+                        EXACTLY one unrolled row across the whole scan, so
+                        contributions OR together (no select chain)."""
+                        block = atlas_ref[pl.ds(pl.multiple_of(b * 8, 8), 8),
+                                          pl.ds(pl.multiple_of(c * 128, 128), 128)]
+                        out = []
+                        for r in range(8):
+                            rowb = jnp.broadcast_to(block[r: r + 1, :],
+                                                    (sph, tile_w))
+                            g = jnp.take_along_axis(rowb, ln0, axis=1)
+                            out.append(
+                                jnp.where(KEY == (((b * 8 + r) << 2) | c), g, 0))
+                        return out
+
+                    # Flat fast path (the overwhelmingly common strip shape:
+                    # one texture, texel columns within <= 2 lane chunks): a
+                    # SINGLE fori over the strip's row blocks with both chunks
+                    # statically unrolled. Per-texture partitioning and the
+                    # chunk fori only run on the rare general strips — at
+                    # 8-row strips the loop-nest setup would otherwise cost
+                    # more than the gathers (measured: naive sph=8 with the
+                    # full nest was 27% SLOWER than sph=32; flattened it wins).
+                    cmin_a = jnp.min(jnp.where(active, ch0, 4))
+                    cmax_a = jnp.max(jnp.where(active, ch0, -1))
+                    rmin_a = jnp.min(jnp.where(active, LY0, atlas_rows))
+                    rmax_a = jnp.max(jnp.where(active, LY0, -1))
+
+                    def fast(acc):
+                        (gp,) = acc
+                        c2 = jnp.minimum(cmin_a + 1, cmax_a)
+
+                        def body(b, gp):
+                            return gp | tree_or(block_contribs(b, cmin_a)
+                                                + block_contribs(b, c2))
+                        gp = jax.lax.fori_loop(rmin_a >> 3, (rmax_a >> 3) + 1,
+                                               body, gp)
+                        return (gp,)
                 else:
                     _, LY0, LX0, LY1, LX1, WX, WY = strip
                     LYMIN, LYMAX = jnp.minimum(LY0, LY1), jnp.maximum(LY0, LY1)
@@ -414,13 +467,16 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     cmax = jnp.max(jnp.where(sel_t, CHMAX, -1))
 
                     # The loop iterates 8-row-aligned atlas BLOCKS, not rows:
-                    # the dominant per-iteration cost is fixed (dynamic-slice
-                    # VMEM load + loop bookkeeping, ~300 ns), so one load
-                    # serves 8 statically-unrolled row resolutions whose
-                    # selects are single-vreg (8, 128) ops. Rows the strip
-                    # doesn't touch match no pixels (LY0 == y is exact,
-                    # absolute rows include the texture base) — unrolled
-                    # wasted rows are a few cheap vector ops.
+                    # the dominant per-iteration cost is fixed (block load +
+                    # loop bookkeeping), so one load serves 8 statically-
+                    # unrolled row resolutions whose selects are single-vreg
+                    # (8, 128) ops. Rows the strip doesn't touch match no
+                    # pixels (LY0 == y is exact, absolute rows include the
+                    # texture base) — unrolled wasted rows are a few cheap
+                    # vector ops. (Software-pipelining the block load through
+                    # the fori carry was measured 7% SLOWER at 1080p: the
+                    # loop-carried vreg costs more than the load latency it
+                    # hides.)
                     def block_body(b, acc):
                         def chunk_body(c, acc):
                             if bilinear:
@@ -429,16 +485,22 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                                 (gp,) = acc
                             block = atlas_ref[pl.ds(pl.multiple_of(b * 8, 8), 8),
                                               pl.ds(pl.multiple_of(c * 128, 128), 128)]
+                            # Each pixel's (row, chunk) key matches EXACTLY one
+                            # unrolled row across the whole scan, so rows
+                            # contribute independent masked values OR-reduced
+                            # (nearest) / added (bilinear) as a TREE — not a
+                            # serial select chain through the accumulator.
+                            # Breaking that 8-deep gather->select dependency
+                            # chain is what lets the VPU pipeline the rows.
+                            contribs = []
                             for r in range(8):
                                 y = b * 8 + r
-                                rowsel = jnp.full((8, tile_w), r, jnp.int32)
-                                rowb = jnp.take_along_axis(block, rowsel, axis=0)
-                                if sph > 8:
-                                    rowb = jnp.concatenate(
-                                        [rowb] * (sph // 8), axis=0)
+                                rowb = jnp.broadcast_to(block[r: r + 1, :],
+                                                        (sph, tile_w))
                                 if not bilinear:
                                     g = jnp.take_along_axis(rowb, ln0, axis=1)
-                                    gp = jnp.where(KEY == ((y << 2) | c), g, gp)
+                                    contribs.append(
+                                        jnp.where(KEY == ((y << 2) | c), g, 0))
                                 else:
                                     yw = (jnp.where(active & (LY0 == y), 1.0 - WY, 0.0)
                                           + jnp.where(active & (LY1 == y), WY, 0.0))
@@ -449,9 +511,20 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                                     r_ = xw0 * ((g0 >> 16) & 0xFF) + xw1 * ((g1 >> 16) & 0xFF)
                                     g_ = xw0 * ((g0 >> 8) & 0xFF) + xw1 * ((g1 >> 8) & 0xFF)
                                     b_ = xw0 * (g0 & 0xFF) + xw1 * (g1 & 0xFF)
-                                    ar = ar + yw * r_
-                                    ag = ag + yw * g_
-                                    ab = ab + yw * b_
+                                    contribs.append((yw * r_, yw * g_, yw * b_))
+
+                            def tree(vals, op):
+                                while len(vals) > 1:
+                                    vals = [op(vals[i], vals[i + 1]) if i + 1 < len(vals)
+                                            else vals[i] for i in range(0, len(vals), 2)]
+                                return vals[0]
+
+                            if not bilinear:
+                                gp = gp | tree(contribs, jnp.bitwise_or)
+                            else:
+                                ar = ar + tree([ct[0] for ct in contribs], jnp.add)
+                                ag = ag + tree([ct[1] for ct in contribs], jnp.add)
+                                ab = ab + tree([ct[2] for ct in contribs], jnp.add)
                             return (ar, ag, ab) if bilinear else (gp,)
 
                         # (A per-block "any pixel needs this block" cond was
@@ -465,7 +538,14 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                                              block_body, acc)
 
                 acc0 = (zf8, zf8, zf8) if bilinear else (zi8,)
-                return jax.lax.fori_loop(tmin, tmax + 1, fetch_tex, acc0)
+                if bilinear:
+                    return jax.lax.fori_loop(tmin, tmax + 1, fetch_tex, acc0)
+                # Nearest: dispatch to the flat fast path unless the strip
+                # spans multiple textures or more than two lane chunks.
+                return jax.lax.cond(
+                    (tmax > tmin) | (cmax_a - cmin_a > 1),
+                    lambda acc: jax.lax.fori_loop(tmin, tmax + 1, fetch_tex, acc),
+                    fast, acc0)
 
             # The fetch runs per 8-row pixel STRIP (one vreg), not per full
             # tile: an atlas-row iteration's masked selects cost O(strip)
@@ -485,8 +565,14 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 def run(strip=strip):
                     return fetch_strip(strip)
 
-                strips.append(jax.lax.cond(
-                    jnp.max(strip[0]) > 0, run, lambda: empty))
+                if bilinear:
+                    strips.append(jax.lax.cond(
+                        jnp.max(strip[0]) > 0, run, lambda: empty))
+                else:
+                    # No skip branch: an empty strip's rmax_a = -1 makes every
+                    # fori 0-trip, so it already costs only the plane setup —
+                    # cheaper than a max-reduce + cond per strip at sph=8.
+                    strips.append(run())
 
             if bilinear:
                 ar = jnp.concatenate([s[0] for s in strips], axis=0)
