@@ -867,15 +867,17 @@ def render_frame_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full frame: geometry front-end + Pallas visibility/shading + texel fetch.
 
-    ``tile_h=None`` picks per resolution: 64 up to ~1440p, 128 at 4K+ (fewer
-    grid steps beat the coarser binning there — measured 3.78 -> 3.54 ms at
-    2160p; 64 stays faster at 1080p).
+    ``tile_h=None`` picks per resolution: 128 from 720p up, 64 below. Taller
+    tiles mean fewer grid steps; once the texel fetch was restructured to
+    strip/block form (round 2) the grid fixed cost dominates and 128 wins at
+    every non-tiny size (measured 1080p 1.23 -> 0.78 ms, 720p 0.74 -> 0.57 ms,
+    2160p 3.78 -> 3.54 ms; 640x480 stays marginally faster at 64).
 
     Scenes whose texture set exceeds the kernel's VMEM atlas budget fall back to
     the XLA rasterizer (slower but unbounded — its texel fetch is an HBM gather).
     """
     if tile_h is None:
-        tile_h = 128 if height >= 1600 else 64
+        tile_h = 128 if height >= 720 else 64
     from ..renderer import build_setup
     from .raster_xla import rasterize
 
@@ -909,7 +911,7 @@ def render_batch_pallas(
     kernel grid (B, nty, ntx), so B frames cost ~B kernel-grid time with a
     single geometry front-end batch — no per-frame dispatch or lax.map."""
     if tile_h is None:
-        tile_h = 128 if height >= 1600 else 64
+        tile_h = 128 if height >= 720 else 64
     from ..renderer import build_setup
 
     setup = jax.vmap(lambda m: build_setup(
