@@ -38,6 +38,7 @@ outputs stream to VMEM tiles.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Tuple
 
@@ -378,7 +379,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # minimize gather work (1-vreg gathers, per-sub-strip row ranges
             # shrink ~2x) and the nearest path below flattens the loop nest so
             # the extra strips don't multiply fixed costs.
-            sph = min(8 if not bilinear else _FETCH_STRIP_H, tile_h)
+            sph = min(_NEAREST_STRIP_H if not bilinear else _FETCH_STRIP_H,
+                      tile_h)
             zf8 = jnp.zeros((sph, tile_w), jnp.float32)
 
             zi8 = jnp.zeros((sph, tile_w), jnp.int32)
@@ -571,7 +573,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 else:
                     # No skip branch: an empty strip's rmax_a = -1 makes every
                     # fori 0-trip, so it already costs only the plane setup —
-                    # cheaper than a max-reduce + cond per strip at sph=8.
+                    # cheaper than a max-reduce + cond per strip at small sph.
                     strips.append(run())
 
             if bilinear:
@@ -611,6 +613,13 @@ MAX_SLOTS_PER_PASS_B1 = 4096
 # still broadcast rows from one 8-row block load; row-range unions widen but
 # stay within each texture's level cluster).
 _FETCH_STRIP_H = 32
+
+# Strip height of the NEAREST path's flattened fast-path fetch (the bilinear
+# path keeps _FETCH_STRIP_H). Measured on-chip at tile_h=128, 100-frame
+# flight: 8 -> 1.13 ms, 16 -> 1.09, 32 -> 1.26 @1080p; 8 -> 3.56, 16 -> 3.28
+# @4K (16 halves the per-strip fixed costs; 32's wider row-range unions and
+# 4-vreg gathers overshoot). Overridable for on-chip A/B probes.
+_NEAREST_STRIP_H = int(os.environ.get("S3D_NEAREST_STRIP_H", "16"))
 
 # VMEM budget for the resident texture atlas (1 MB per 512x512 texture).
 # Probed on-chip (tools; 2026-08-16): a 96 MB atlas compiles and renders

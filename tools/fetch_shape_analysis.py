@@ -147,6 +147,7 @@ def main():
     rowspan_hist = Counter()
     tot_strips = tot_active = tot_blocks = tot_chunkiters = tot_texiters = 0
     tot_blocks_perchunk = [0]
+    tot_blocks_touched = [0]
     tiles_active = set()
     for tyi in range(nty):
         for txi in range(ntx):
@@ -186,6 +187,10 @@ def main():
                         rc0, rc1 = T[selc].min(), T[selc].max()
                         tot_blocks_perchunk[0] += int(
                             (rc1 >> 3) - (rc0 >> 3) + 1)
+                        # Distinct TOUCHED blocks: what an extract-next-block
+                        # iteration (min-reduce over unresolved pixels) would
+                        # scan instead of the [rmin, rmax] range.
+                        tot_blocks_touched[0] += len(np.unique(T[selc] >> 3))
 
     print(f"{args.scene} {W}x{H} tile_h={TH} strip_h={SH}:")
     print(f"  strips: {tot_strips} total, {tot_active} with textured winners; "
@@ -195,7 +200,8 @@ def main():
     print(f"  per-(strip,tex) chunk count hist: {dict(sorted(chunk_hist.items()))}")
     print(f"  per-(strip,tex) row-span hist: {dict(sorted(rowspan_hist.items()))}")
     print(f"  TOTALS: block-chunk iterations {tot_blocks} "
-          f"(per-chunk ranges: {tot_blocks_perchunk[0]}), "
+          f"(per-chunk ranges: {tot_blocks_perchunk[0]}, "
+          f"distinct touched: {tot_blocks_touched[0]}), "
           f"tex iterations {tot_texiters}")
     # Cost model: ~300 ns fixed per block-chunk iteration + vector work
     print(f"  modelled fixed block cost @300ns: {tot_blocks * 300e-9 * 1e3:.3f} ms")
