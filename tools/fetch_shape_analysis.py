@@ -148,6 +148,7 @@ def main():
     tot_strips = tot_active = tot_blocks = tot_chunkiters = tot_texiters = 0
     tot_blocks_perchunk = [0]
     tot_blocks_touched = [0]
+    tot_blocks_split = [0]
     tiles_active = set()
     for tyi in range(nty):
         for txi in range(ntx):
@@ -191,6 +192,23 @@ def main():
                         # iteration (min-reduce over unresolved pixels) would
                         # scan instead of the [rmin, rmax] range.
                         tot_blocks_touched[0] += len(np.unique(T[selc] >> 3))
+                    # Midpoint-split model (per (strip,tex), chunks unrolled
+                    # as the kernel's flat path does): two sub-ranges
+                    # [rmin, max-below-mid] and [min-at-or-above-mid, rmax].
+                    mid = (rmin + rmax + 1) // 2
+                    lo = T[sel][T[sel] < mid]
+                    hi = T[sel][T[sel] >= mid]
+                    nb2 = 0
+                    b_hi_start = None
+                    if lo.size:
+                        nb2 += int((lo.max() >> 3) - (rmin >> 3) + 1)
+                        b_hi_start = (lo.max() >> 3) + 1
+                    if hi.size:
+                        s = int(hi.min() >> 3)
+                        if b_hi_start is not None:
+                            s = max(s, b_hi_start)
+                        nb2 += max(0, int(rmax >> 3) - s + 1)
+                    tot_blocks_split[0] += nb2 * int(nc)
 
     print(f"{args.scene} {W}x{H} tile_h={TH} strip_h={SH}:")
     print(f"  strips: {tot_strips} total, {tot_active} with textured winners; "
@@ -201,7 +219,8 @@ def main():
     print(f"  per-(strip,tex) row-span hist: {dict(sorted(rowspan_hist.items()))}")
     print(f"  TOTALS: block-chunk iterations {tot_blocks} "
           f"(per-chunk ranges: {tot_blocks_perchunk[0]}, "
-          f"distinct touched: {tot_blocks_touched[0]}), "
+          f"distinct touched: {tot_blocks_touched[0]}, "
+          f"midpoint-split: {tot_blocks_split[0]}), "
           f"tex iterations {tot_texiters}")
     # Cost model: ~300 ns fixed per block-chunk iteration + vector work
     print(f"  modelled fixed block cost @300ns: {tot_blocks * 300e-9 * 1e3:.3f} ms")
