@@ -74,26 +74,29 @@ def measure(scene_name: str, width: int, height: int, frames: int,
         _, sums = jax.lax.scan(body, 0, mats)
         return sums
 
-    def timed(fn, *args):
+    def timed_once(fn, *args):
+        t0 = time.perf_counter()
         s = fn(*args)
-        float(np.asarray(s).sum())  # compile + warm up
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            s = fn(*args)
-            float(np.asarray(s).sum())
-            best = min(best, (time.perf_counter() - t0) / frames)
-        return best
+        float(np.asarray(s).sum())
+        return (time.perf_counter() - t0) / frames
 
     # Subtract the fixed dispatch/roundtrip cost of an identical empty chain so
     # the figure is pure render time (on tunneled attachments the roundtrip is
-    # ~30 ms and would otherwise smear ~30/frames ms into every frame). Tiny
+    # ~30 ms and would otherwise smear ~30/frames ms into every frame). The
+    # tunnel's latency drifts in multi-second phases, so the empty chain is
+    # timed IMMEDIATELY BEFORE each render rep and subtracted per round —
+    # separate-phase measurements made the subtraction bimodally noisy. Tiny
     # workloads can disappear below the dispatch noise floor; floor the figure
     # there instead of reporting fantasy fps.
-    overhead = timed(empty_chain, mats)
-    raw = timed(render_chain, dev, mats, width, height)
+    float(np.asarray(empty_chain(mats)).sum())  # compile + warm up
+    float(np.asarray(render_chain(dev, mats, width, height)).sum())
+    best = float("inf")
+    for _ in range(5):
+        overhead = timed_once(empty_chain, mats)
+        raw = timed_once(render_chain, dev, mats, width, height)
+        best = min(best, raw - overhead)
     floor_s = 50e-6
-    best = max(raw - overhead, floor_s)
+    best = max(best, floor_s)
     return dict(frame_ms=best * 1e3, fps=1.0 / best,
                 overhead_bound=(raw - overhead) < floor_s,
                 tris=scene.num_triangles, pixels=width * height)

@@ -449,19 +449,30 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     rhi_min = jnp.min(jnp.where(active & (LY0 >= mid_a),
                                                 LY0, atlas_rows))
 
-                    def fast(acc):
-                        (gp,) = acc
-                        c2 = jnp.minimum(cmin_a + 1, cmax_a)
-
-                        def body(b, gp):
-                            return gp | tree_or(block_contribs(b, cmin_a)
-                                                + block_contribs(b, c2))
+                    def _fast_scan(body, gp):
                         gp = jax.lax.fori_loop(rmin_a >> 3, (rlo_max >> 3) + 1,
                                                body, gp)
-                        gp = jax.lax.fori_loop(
+                        return jax.lax.fori_loop(
                             jnp.maximum(rhi_min >> 3, (rlo_max >> 3) + 1),
                             (rmax_a >> 3) + 1, body, gp)
-                        return (gp,)
+
+                    # Half of all strips touch texel columns within ONE lane
+                    # chunk (hist at 1080p: {1: 208, 2: 184, 3: 14}); the
+                    # 2-chunk unroll would gather that chunk twice, so a
+                    # strip-level cond picks the single-chunk body instead.
+                    def fast1(acc):
+                        def body(b, gp):
+                            return gp | tree_or(block_contribs(b, cmin_a))
+                        return (_fast_scan(body, acc[0]),)
+
+                    def fast2(acc):
+                        def body(b, gp):
+                            return gp | tree_or(block_contribs(b, cmin_a)
+                                                + block_contribs(b, cmin_a + 1))
+                        return (_fast_scan(body, acc[0]),)
+
+                    def fast(acc):
+                        return jax.lax.cond(cmax_a > cmin_a, fast2, fast1, acc)
                 else:
                     _, LY0, LX0, LY1, LX1, WX, WY = strip
                     LYMIN, LYMAX = jnp.minimum(LY0, LY1), jnp.maximum(LY0, LY1)
