@@ -506,6 +506,24 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     rmax = jnp.max(jnp.where(sel_t, LYMAX, -1))
                     cmin = jnp.min(jnp.where(sel_t, CHMIN, 4))
                     cmax = jnp.max(jnp.where(sel_t, CHMAX, -1))
+                    # Midpoint split of the row range (see the flat fast path):
+                    # skips the dead middle blocks of wrap-cluster strips. The
+                    # below/above bounds cover BOTH bilinear sample rows; the
+                    # second scan starts past the first's last block, so no
+                    # block is visited twice (bilinear contributions ADD — a
+                    # revisit would double them).
+                    mid = (rmin + rmax + 1) >> 1
+                    below = jnp.max(jnp.where(sel_t & (LYMAX < mid),
+                                              LYMAX, -1))
+                    if bilinear:
+                        below = jnp.maximum(below, jnp.max(
+                            jnp.where(sel_t & (LYMIN < mid), LYMIN, -1)))
+                    above = jnp.min(jnp.where(sel_t & (LYMIN >= mid),
+                                              LYMIN, atlas_rows))
+                    if bilinear:
+                        above = jnp.minimum(above, jnp.min(
+                            jnp.where(sel_t & (LYMAX >= mid), LYMAX,
+                                      atlas_rows)))
 
                     # The loop iterates 8-row-aligned atlas BLOCKS, not rows:
                     # the dominant per-iteration cost is fixed (block load +
@@ -575,8 +593,11 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                         # pays for itself.)
                         return jax.lax.fori_loop(cmin, cmax + 1, chunk_body, acc)
 
-                    return jax.lax.fori_loop(rmin >> 3, (rmax >> 3) + 1,
-                                             block_body, acc)
+                    acc = jax.lax.fori_loop(rmin >> 3, (below >> 3) + 1,
+                                            block_body, acc)
+                    return jax.lax.fori_loop(
+                        jnp.maximum(above >> 3, (below >> 3) + 1),
+                        (rmax >> 3) + 1, block_body, acc)
 
                 acc0 = (zf8, zf8, zf8) if bilinear else (zi8,)
                 if bilinear:
