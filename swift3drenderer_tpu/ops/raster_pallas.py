@@ -940,13 +940,17 @@ def render_frame_pallas(
     tiles mean fewer grid steps; once the texel fetch was restructured to
     strip/block form (round 2) the grid fixed cost dominates and 128 wins at
     every non-tiny size (measured 1080p 1.23 -> 0.78 ms, 720p 0.74 -> 0.57 ms,
-    2160p 3.78 -> 3.54 ms; 640x480 stays marginally faster at 64).
+    2160p 3.78 -> 3.54 ms; 640x480 stays marginally faster at 64). Exception:
+    multi-pass scenes (slots beyond the SMEM cap) keep 64 — with thousands of
+    small triangles the finer binning outweighs the grid cost (10,083 tris
+    @1080p: 11.7 ms at 64 vs 13.1 at 128, on-chip).
 
     Scenes whose texture set exceeds the kernel's VMEM atlas budget fall back to
     the XLA rasterizer (slower but unbounded — its texel fetch is an HBM gather).
     """
     if tile_h is None:
-        tile_h = 128 if height >= 720 else 64
+        multipass = 2 * dev["vi"].shape[0] > MAX_SLOTS_PER_PASS_B1
+        tile_h = 128 if height >= 720 and not multipass else 64
     from ..renderer import build_setup
     from .raster_xla import rasterize
 
@@ -980,7 +984,8 @@ def render_batch_pallas(
     kernel grid (B, nty, ntx), so B frames cost ~B kernel-grid time with a
     single geometry front-end batch — no per-frame dispatch or lax.map."""
     if tile_h is None:
-        tile_h = 128 if height >= 720 else 64
+        multipass = 2 * dev["vi"].shape[0] > MAX_SLOTS_PER_PASS
+        tile_h = 128 if height >= 720 and not multipass else 64
     from ..renderer import build_setup
 
     setup = jax.vmap(lambda m: build_setup(

@@ -132,11 +132,17 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--tile-h", type=int, default=64)
     p.add_argument("--strip-h", type=int, default=32)
+    p.add_argument("--flight-frame", type=int, default=0,
+                   help="model the bench flight's pose at this frame "
+                        "(0 = initial camera)")
     args = p.parse_args()
 
     scene = SCENES[args.scene](seed=0)
     cam = Camera()
     m = cam.update(Input(), force_update=True).astype(np.float32)
+    for i in range(args.flight_frame):
+        m = cam.update(Input(up=1.0, mouse=(2.0 * (i + 1), 0.0)))
+    m = np.asarray(m, np.float32)
     ty, tx = texel_planes(scene, m, args.width, args.height, DEFAULT_CONFIG)
 
     W, H, TH, SH = args.width, args.height, args.tile_h, args.strip_h

@@ -92,6 +92,24 @@ def main() -> int:
           f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
           flush=True)
 
+    # Spatial multipass at tile_h=128 (id-plane merge + tall tiles): must
+    # match golden where the sequential multipass does.
+    scene = stress_scene(seed=0, objects=128)
+    dev = scene_to_device(scene)
+    m = jnp.asarray(Camera().update(Input(), force_update=True), jnp.float32)
+    setup = build_setup(dev, m, width=320, height=240, config=DEFAULT_CONFIG)
+    px, _ = rasterize_pallas(
+        setup, dev["textures"], width=320, height=240,
+        background=DEFAULT_CONFIG.background_packed, tile_h=128, spatial=True,
+        interpret=(jax.default_backend() == "cpu"))
+    gp, _ = golden_render(scene, np.asarray(m), 320, 240)
+    frac = mismatch(gp, np.asarray(px))
+    ok = frac < 0.005
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'spatial+tile128':22s} "
+          f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+          flush=True)
+
     # Row-band sharded kernel path on hardware: render the default scene as
     # two y_offset bands (the exact per-device computation of the fb-sharded
     # mesh, bilinear sampling) and stitch — must match a golden full frame.
