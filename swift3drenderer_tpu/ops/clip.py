@@ -51,7 +51,19 @@ def clip_prepass(
     s = jnp.argmax(same, axis=1).astype(jnp.int32)          # (T,)
     nxt = (s + 1) % 3
     prc = (s + 2) % 3
-    two_front = straddle & front[jnp.arange(t), s]          # newTriangle flag
+
+    def sel_corner(arr, idx):
+        """``arr[t, idx[t], ...]`` for idx in [0, 3) as 3 masked selects — a
+        per-row dynamic gather (take_along_axis / arange indexing) SCALARIZES
+        on TPU at ~7.5 ns/row, which made this prepass ~5 ms at 10k triangles;
+        the select form is pure vector ops."""
+        expand = (slice(None),) + (None,) * (arr.ndim - 2)
+        out = jnp.zeros_like(arr[:, 0])
+        for k in range(3):
+            out = jnp.where((idx == k)[expand], arr[:, k], out)
+        return out
+
+    two_front = straddle & sel_corner(front, s)             # newTriangle flag
 
     # All three edge crossings, computed unconditionally (render.swift:186-199).
     z_next = z[:, nxt_of]
@@ -81,10 +93,16 @@ def clip_prepass(
     src = jnp.where(one_front[:, None] & is_s, prc[:, None], src)
     src = jnp.where(one_front[:, None] & is_nxt, nxt[:, None], src)
 
+    def gather3(arr, idx):
+        """``arr[t, idx[t, c], :]`` as masked selects (see sel_corner)."""
+        out = jnp.zeros_like(arr)
+        for k in range(3):
+            out = jnp.where((idx == k)[..., None], arr[:, k][:, None, :], out)
+        return out
+
     def pick(orig, crossing):
-        g_orig = jnp.take_along_axis(orig, src[..., None], axis=1)
-        g_x = jnp.take_along_axis(crossing, src[..., None], axis=1)
-        return jnp.where(use_x[..., None], g_x, g_orig)
+        return jnp.where(use_x[..., None], gather3(crossing, src),
+                         gather3(orig, src))
 
     prim = {k: pick(o, x) for k, (o, x) in
             dict(cv=(cv, xcv), rv=(rv, xrv), attr=(attr, xattr), n=(n, xn)).items()}
@@ -95,9 +113,8 @@ def clip_prepass(
     sec_use_x = jnp.array([False, True, True])[None, :]
 
     def pick_sec(orig, crossing):
-        g_orig = jnp.take_along_axis(orig, sec_src[..., None], axis=1)
-        g_x = jnp.take_along_axis(crossing, sec_src[..., None], axis=1)
-        return jnp.where(sec_use_x[..., None], g_x, g_orig)
+        return jnp.where(sec_use_x[..., None], gather3(crossing, sec_src),
+                         gather3(orig, sec_src))
 
     sec = {k: pick_sec(o, x) for k, (o, x) in
            dict(cv=(cv, xcv), rv=(rv, xrv), attr=(attr, xattr), n=(n, xn)).items()}

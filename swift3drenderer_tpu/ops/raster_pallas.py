@@ -122,7 +122,16 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
     live = setup["live"] & in_band
     touch = (touch_y[:, :, None] & touch_x[:, None, :]) & live[:, None, None]
     touch = touch.reshape(touch.shape[0], nty * ntx).T          # (ntiles, S)
-    ids = jnp.argsort(~touch, axis=1, stable=True).astype(jnp.int32)
+    # Stable partition (touching slots first, ascending) via a SINGLE-key
+    # sort: untouched slots get their index + S, so they land after every
+    # touched slot, both groups ascending — identical to the previous stable
+    # argsort of ~touch, but sorting one unique i32 key instead of a
+    # (key, index) comparator tuple halves the XLA sort cost, which DOMINATES
+    # large scenes (10k tris: the front-end was 7 of 11.7 ms per frame).
+    s = touch.shape[1]
+    slot = jnp.arange(s, dtype=jnp.int32)[None, :]
+    keys = jnp.where(touch, slot, slot + s)
+    ids = jnp.sort(keys, axis=1) % s
     counts = touch.sum(axis=1, dtype=jnp.int32)[:, None]        # (ntiles, 1)
     return ids, counts
 

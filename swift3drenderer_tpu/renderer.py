@@ -29,17 +29,32 @@ from .utils.databin import Scene
 
 
 def scene_to_device(scene: Scene) -> Dict[str, jnp.ndarray]:
-    """Upload a host Scene to HBM in structure-of-arrays form."""
+    """Upload a host Scene to HBM in structure-of-arrays form.
+
+    The triangle topology is static, so the corner gathers (``vertices[vi]``
+    etc.) are done ONCE here on the host, corner-major. Per-frame work is then
+    pure matmul/elementwise — XLA index gathers scalarize on TPU (~7.5 ns per
+    gathered row) and dominated large-scene frames (build_setup alone was 5.4
+    of 11.7 ms at 10,083 triangles before this pre-gather). The 3x duplicated
+    vertex data is a few hundred KB of HBM at 10k triangles — free next to
+    the texture atlases."""
     vi = scene.vertex_indices.reshape(-1, 3).astype(np.int32)
     ai = scene.attribute_indices.reshape(-1, 3).astype(np.int32)
+    verts = scene.vertices.astype(np.float32)
+    norms = scene.normals.astype(np.float32)
+    attrs = scene.attr_vec.astype(np.float32)
     return dict(
-        vertices=jnp.asarray(scene.vertices, jnp.float32),
+        vertices=jnp.asarray(verts),
         vi=jnp.asarray(vi),
         ai=jnp.asarray(ai),
-        normals=jnp.asarray(scene.normals, jnp.float32),
-        attr_vec=jnp.asarray(scene.attr_vec, jnp.float32),
+        normals=jnp.asarray(norms),
+        attr_vec=jnp.asarray(attrs),
         attr_tex=jnp.asarray(scene.attr_tex, jnp.int32),
         textures=jnp.asarray(scene.textures, jnp.uint32),
+        vert_c=jnp.asarray(verts[vi]),                       # (T, 3, 4)
+        norm_c=jnp.asarray(norms[ai]),                       # (T, 3, 4)
+        attr_c=jnp.asarray(attrs[ai]),                       # (T, 3, 3)
+        tex_c=jnp.asarray(scene.attr_tex[ai[:, 0]], jnp.int32),  # (T,)
     )
 
 
@@ -57,16 +72,17 @@ def build_setup(dev: Dict[str, jnp.ndarray], m: jnp.ndarray, *, width,
         half_w, half_h = width / 2.0, height / 2.0
     else:
         factor, half_w, half_h = proj
-    cv = transform_points(dev["vertices"], m)
-    rv = project(cv, factor, half_w, half_h)
-    nrm = transform_normals(dev["normals"], m)
-
-    vi, ai = dev["vi"], dev["ai"]
+    # Corner-major pre-gathered arrays (scene_to_device): the per-frame
+    # front-end is gather-free — transforms run directly on (T*3, 4) rows.
+    t = dev["vert_c"].shape[0]
+    cv_c = transform_points(dev["vert_c"].reshape(-1, 4), m)
+    rv_c = project(cv_c, factor, half_w, half_h)
+    nrm_c = transform_normals(dev["norm_c"].reshape(-1, 4), m)
     corners = clip_prepass(
-        cv=cv[vi], rv=rv[vi],
-        attr=dev["attr_vec"][ai],
-        n=nrm[ai],
-        tex=dev["attr_tex"][ai[:, 0]],
+        cv=cv_c.reshape(t, 3, -1), rv=rv_c.reshape(t, 3, -1),
+        attr=dev["attr_c"],
+        n=nrm_c.reshape(t, 3, -1),
+        tex=dev["tex_c"],
         near=config.near, factor=factor, half_w=half_w, half_h=half_h,
     )
     return triangle_setup(corners, width, height, config.min_area)
@@ -220,8 +236,14 @@ class Renderer:
         """
         if self.backend == "native":
             raise ValueError("scene animation requires a device backend")
-        for name, arr in (("vertices", vertices), ("normals", normals),
-                          ("attr_vec", attr_vec)):
+        vi = np.asarray(self.dev["vi"])
+        ai = np.asarray(self.dev["ai"])
+        # Refresh both the flat arrays and their corner-major pre-gathers
+        # (the render path reads the latter; the host gather is trivial).
+        for name, arr, cname, idx in (
+                ("vertices", vertices, "vert_c", vi),
+                ("normals", normals, "norm_c", ai),
+                ("attr_vec", attr_vec, "attr_c", ai)):
             if arr is None:
                 continue
             arr = np.asarray(arr, np.float32)
@@ -229,6 +251,7 @@ class Renderer:
                 raise ValueError(
                     f"{name} shape {arr.shape} != bound {self.dev[name].shape}")
             self.dev[name] = jnp.asarray(arr)
+            self.dev[cname] = jnp.asarray(arr[idx])
 
     def render_batch(self, matrices: np.ndarray, width: int, height: int):
         """Render a batch of camera poses on one chip — the serving path (for
