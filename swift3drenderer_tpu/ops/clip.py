@@ -46,8 +46,13 @@ def clip_prepass(
     straddle = ~all_behind & ~all_front
 
     # The unique same-side edge s: front[s] == front[s+1] (render.swift:181-185).
-    nxt_of = jnp.array([1, 2, 0], dtype=jnp.int32)
-    same = front == front[:, nxt_of]     # (T, 3)
+    def rot1(x):
+        """``x[:, [1, 2, 0]]`` as a slice+concat — constant-index gathers
+        still lower to (scalarizing) gather ops on TPU; the rotation form is
+        two contiguous copies."""
+        return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+
+    same = front == rot1(front)          # (T, 3)
     s = jnp.argmax(same, axis=1).astype(jnp.int32)          # (T,)
     nxt = (s + 1) % 3
     prc = (s + 2) % 3
@@ -66,12 +71,12 @@ def clip_prepass(
     two_front = straddle & sel_corner(front, s)             # newTriangle flag
 
     # All three edge crossings, computed unconditionally (render.swift:186-199).
-    z_next = z[:, nxt_of]
+    z_next = rot1(z)
     a = (near - z) / (z_next - z)                            # (T, 3)
     a3 = a[..., None]
-    xcv = cv * (1 - a3) + cv[:, nxt_of] * a3                 # (T, 3, 3)
-    xattr = attr * (1 - a3) + attr[:, nxt_of] * a3
-    xn = n * (1 - a3) + n[:, nxt_of] * a3
+    xcv = cv * (1 - a3) + rot1(cv) * a3                 # (T, 3, 3)
+    xattr = attr * (1 - a3) + rot1(attr) * a3
+    xn = n * (1 - a3) + rot1(n) * a3
     xrv = jnp.stack(
         [xcv[..., 0] * factor / near + half_w,
          -xcv[..., 1] * factor / near + half_h,
