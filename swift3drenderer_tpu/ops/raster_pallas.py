@@ -676,12 +676,11 @@ MAX_SLOTS_PER_PASS = 2048
 # counts + scratch) still fits the 1 MB SMEM. Validated on-chip.
 MAX_SLOTS_PER_PASS_B1 = 4096
 
-# Pixel-strip height of the texel-fetch phase (multiple of 8; <= tile_h).
-# Measured on-chip at 1080p full scene: 8 -> 1.47 ms, 16 -> 1.25, 32 -> 1.24
-# (wider strips amortize the block loads and per-strip range reductions and
-# still broadcast rows from one 8-row block load; row-range unions widen but
-# stay within each texture's level cluster).
-_FETCH_STRIP_H = 32
+# Pixel-strip height of the BILINEAR fetch phase (multiple of 8; <= tile_h).
+# Re-measured on-chip after the round-2 midpoint-split rework (config 2,
+# 100-frame flight): 8 -> ~0.86 ms, 16 -> ~0.81, 32 -> ~0.84 — 16 balances
+# per-strip fixed costs against row-range unions, mirroring the nearest path.
+_FETCH_STRIP_H = int(os.environ.get("S3D_FETCH_STRIP_H", "16"))
 
 # Strip height of the NEAREST path's flattened fast-path fetch (the bilinear
 # path keeps _FETCH_STRIP_H). Measured on-chip at tile_h=128, 100-frame
