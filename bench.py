@@ -22,7 +22,7 @@ import numpy as np
 
 
 def measure(scene_name: str, width: int, height: int, frames: int,
-            backend: str) -> dict:
+            backend: str, batch: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -47,15 +47,23 @@ def measure(scene_name: str, width: int, height: int, frames: int,
     cam = Camera()
     mats = np.stack([
         cam.update(Input(up=1.0, mouse=(2.0 * i, 0.0)), force_update=(i == 0)).copy()
-        for i in range(frames)
+        for i in range(frames * batch)
     ])
+    if batch > 1:
+        # Serving mode: each scan step renders a B-camera batch in ONE kernel
+        # dispatch (the batch axis rides the kernel grid).
+        mats = mats.reshape(frames, batch, 3, 4)
     mats = jnp.asarray(mats, jnp.float32)
 
-    if backend == "pallas":
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    if backend == "pallas" and batch > 1:
+        from swift3drenderer_tpu.ops.raster_pallas import render_batch_pallas
+        render = functools.partial(render_batch_pallas, interpret=interpret)
+    elif backend == "pallas":
         from swift3drenderer_tpu.ops.raster_pallas import render_frame_pallas
-        interpret = jax.default_backend() not in ("tpu", "axon")
         render = functools.partial(render_frame_pallas, interpret=interpret)
     else:
+        assert batch == 1, "--batch needs the pallas backend"
         render = render_frame_xla
 
     @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -63,7 +71,7 @@ def measure(scene_name: str, width: int, height: int, frames: int,
         def body(carry, m):
             px, depth = render(dev, m, width=width, height=height,
                                config=DEFAULT_CONFIG)
-            return carry, px[::64, ::64].astype(jnp.uint32).sum()
+            return carry, px.reshape(-1)[::4099].astype(jnp.uint32).sum()
         _, sums = jax.lax.scan(body, 0, mats)
         return sums
 
@@ -90,15 +98,20 @@ def measure(scene_name: str, width: int, height: int, frames: int,
     # there instead of reporting fantasy fps.
     float(np.asarray(empty_chain(mats)).sum())  # compile + warm up
     float(np.asarray(render_chain(dev, mats, width, height)).sum())
-    best = float("inf")
+    raws, ovhs = [], []
     for _ in range(5):
-        overhead = timed_once(empty_chain, mats)
-        raw = timed_once(render_chain, dev, mats, width, height)
-        best = min(best, raw - overhead)
+        ovhs.append(timed_once(empty_chain, mats))
+        raws.append(timed_once(render_chain, dev, mats, width, height))
+    # Tunnel noise is ADDITIVE on the render chain (latency only inflates), so
+    # min(raws) estimates true device time; the empty-chain overhead, however,
+    # occasionally spikes, and subtracting a per-round or min overhead lets one
+    # spike fabricate a too-fast frame (observed: a 13 ms workload reading
+    # 7.95 once). min(raw) - median(overhead) is robust on both sides.
+    best = (min(raws) - sorted(ovhs)[len(ovhs) // 2]) / batch  # per FRAME
     floor_s = 50e-6
-    best = max(best, floor_s)
-    return dict(frame_ms=best * 1e3, fps=1.0 / best,
-                overhead_bound=(raw - overhead) < floor_s,
+    return dict(frame_ms=max(best, floor_s) * 1e3,
+                fps=1.0 / max(best, floor_s),
+                overhead_bound=best < floor_s,
                 tris=scene.num_triangles, pixels=width * height)
 
 
@@ -116,6 +129,8 @@ def main() -> None:
     # enough that the fixed tunnel/dispatch amortization subtracts cleanly.
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--backend", default="pallas")
+    p.add_argument("--batch", type=int, default=1,
+                   help="serving mode: cameras per kernel dispatch (pallas)")
     p.add_argument("--all-configs", action="store_true",
                    help="print a table over the BASELINE configs instead")
     args = p.parse_args()
@@ -130,17 +145,21 @@ def main() -> None:
                   f"{r['fps']:8.1f} fps  ({r['tris']} tris){note}")
         return
 
-    r = measure(args.scene, args.width, args.height, args.frames, args.backend)
+    r = measure(args.scene, args.width, args.height, args.frames, args.backend,
+                batch=args.batch)
     mpix = r["pixels"] * r["fps"] / 1e6
     vs = (r["fps"] / CPU_BASELINE_FPS) if CPU_BASELINE_FPS else None
+    tag = f" batch={args.batch}" if args.batch > 1 else ""
     print(json.dumps({
-        "metric": f"fps@{args.width}x{args.height} {args.scene} scene ({args.backend})",
+        "metric": f"fps@{args.width}x{args.height} {args.scene} scene "
+                  f"({args.backend}{tag})",
         "value": round(r["fps"], 2),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "extra": {"frame_ms": round(r["frame_ms"], 3),
                   "Mpix_per_s": round(mpix, 1),
-                  "triangles": r["tris"]},
+                  "triangles": r["tris"],
+                  **({"batch": args.batch} if args.batch > 1 else {})},
     }))
 
 
