@@ -134,6 +134,40 @@ def main() -> int:
           f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
           flush=True)
 
+    # Optional randomized hardware fuzz: random scene family / seed / pose /
+    # odd resolution, pallas-on-chip vs golden (the CPU suite fuzzes interpret
+    # mode only). Run: python tools/tpu_validate.py --fuzz 12
+    import sys as _sys
+    ntrials = 0
+    if "--fuzz" in _sys.argv:
+        ntrials = int(_sys.argv[_sys.argv.index("--fuzz") + 1])
+    for trial in range(ntrials):
+        rng = np.random.default_rng(7000 + trial)
+        name = list(SCENES)[int(rng.integers(0, len(SCENES)))]
+        scene = SCENES[name](seed=int(rng.integers(0, 100)))
+        sampling = "bilinear" if rng.integers(0, 4) == 0 else "nearest"
+        cfg = dataclasses.replace(DEFAULT_CONFIG, sampling=sampling)
+        dev = scene_to_device(scene)
+        cam = Camera()
+        m = cam.update(Input(), force_update=True)
+        for _ in range(int(rng.integers(1, 6))):
+            m = cam.update(Input(
+                up=float(rng.uniform(0, 2)), down=float(rng.uniform(0, 1)),
+                left=float(rng.uniform(0, 1)), right=float(rng.uniform(0, 1)),
+                mouse=(float(rng.uniform(-120, 120)),
+                       float(rng.uniform(-80, 80)))))
+        w = int(rng.integers(20, 60)) * 8
+        h = int(rng.integers(12, 40)) * 8
+        px, _ = render_frame_pallas(dev, jnp.asarray(m, jnp.float32),
+                                    width=w, height=h, config=cfg,
+                                    interpret=(backend == "cpu"))
+        gp, _ = golden_render(scene, m, w, h, config=cfg)
+        frac = mismatch(gp, np.asarray(px))
+        ok = frac < 0.005
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'}  fuzz[{trial}] {name:12s} "
+              f"{sampling:8s} {w}x{h}  mismatch {frac * 100:.3f}%", flush=True)
+
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
