@@ -24,6 +24,21 @@ def identity_camera():
     return Camera().update(Input(), force_update=True)
 
 
+def test_binning_partition_matches_stable_argsort():
+    # The single-key-sort stable partition (touching slots first, BOTH groups
+    # ascending) must equal the stable argsort of ~touch it replaced — the
+    # ascending order is what preserves reference depth-tie semantics.
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        touch = rng.random((7, 64)) < rng.uniform(0.05, 0.9)
+        s = touch.shape[1]
+        slot = np.arange(s)[None, :]
+        keys = np.where(touch, slot, slot + s)
+        ids = np.sort(keys, axis=1) % s
+        ref = np.argsort(~touch, axis=1, kind="stable")
+        np.testing.assert_array_equal(ids, ref)
+
+
 def test_binning_covers_live_triangles():
     scene = default_scene(seed=0)
     dev = scene_to_device(scene)
