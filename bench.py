@@ -90,12 +90,11 @@ def measure(scene_name: str, width: int, height: int, frames: int,
 
     # Subtract the fixed dispatch/roundtrip cost of an identical empty chain so
     # the figure is pure render time (on tunneled attachments the roundtrip is
-    # ~30 ms and would otherwise smear ~30/frames ms into every frame). The
-    # tunnel's latency drifts in multi-second phases, so the empty chain is
-    # timed IMMEDIATELY BEFORE each render rep and subtracted per round —
-    # separate-phase measurements made the subtraction bimodally noisy. Tiny
-    # workloads can disappear below the dispatch noise floor; floor the figure
-    # there instead of reporting fantasy fps.
+    # ~30 ms and would otherwise smear ~30/frames ms into every frame). Empty
+    # and render reps are interleaved so both sample the same tunnel-latency
+    # phase; the estimator below then combines them robustly. Tiny workloads
+    # can disappear below the dispatch noise floor; floor the figure there
+    # instead of reporting fantasy fps.
     float(np.asarray(empty_chain(mats)).sum())  # compile + warm up
     float(np.asarray(render_chain(dev, mats, width, height)).sum())
     raws, ovhs = [], []

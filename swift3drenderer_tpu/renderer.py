@@ -35,21 +35,18 @@ def scene_to_device(scene: Scene) -> Dict[str, jnp.ndarray]:
     etc.) are done ONCE here on the host, corner-major. Per-frame work is then
     pure matmul/elementwise — XLA index gathers scalarize on TPU (~7.5 ns per
     gathered row) and dominated large-scene frames (build_setup alone was 5.4
-    of 11.7 ms at 10,083 triangles before this pre-gather). The 3x duplicated
-    vertex data is a few hundred KB of HBM at 10k triangles — free next to
-    the texture atlases."""
+    of 11.7 ms at 10,083 triangles before this pre-gather). The corner-major
+    duplication is a few hundred KB of HBM at 10k triangles; the flat vertex/
+    normal/attribute arrays are NOT uploaded (no render path reads them —
+    ``vi``/``ai`` ride along for slot-count gates and topology checks)."""
     vi = scene.vertex_indices.reshape(-1, 3).astype(np.int32)
     ai = scene.attribute_indices.reshape(-1, 3).astype(np.int32)
     verts = scene.vertices.astype(np.float32)
     norms = scene.normals.astype(np.float32)
     attrs = scene.attr_vec.astype(np.float32)
     return dict(
-        vertices=jnp.asarray(verts),
         vi=jnp.asarray(vi),
         ai=jnp.asarray(ai),
-        normals=jnp.asarray(norms),
-        attr_vec=jnp.asarray(attrs),
-        attr_tex=jnp.asarray(scene.attr_tex, jnp.int32),
         textures=jnp.asarray(scene.textures, jnp.uint32),
         vert_c=jnp.asarray(verts[vi]),                       # (T, 3, 4)
         norm_c=jnp.asarray(norms[ai]),                       # (T, 3, 4)
@@ -180,6 +177,14 @@ class Renderer:
             self.dev = None
         else:
             self.dev = scene_to_device(scene)
+            # Host-side topology for update_scene: the indices are immutable
+            # for this Renderer's lifetime, so keeping them here avoids a
+            # device->host roundtrip on every animation call.
+            self._host_vi = scene.vertex_indices.reshape(-1, 3).astype(np.int32)
+            self._host_ai = scene.attribute_indices.reshape(-1, 3).astype(np.int32)
+            self._flat_shapes = {"vertices": scene.vertices.shape,
+                                 "normals": scene.normals.shape,
+                                 "attr_vec": scene.attr_vec.shape}
 
     def render(self, camera_matrix: np.ndarray, width: int,
                height: int, bucketed: bool = False) -> Tuple[np.ndarray, np.ndarray]:
@@ -236,21 +241,19 @@ class Renderer:
         """
         if self.backend == "native":
             raise ValueError("scene animation requires a device backend")
-        vi = np.asarray(self.dev["vi"])
-        ai = np.asarray(self.dev["ai"])
-        # Refresh both the flat arrays and their corner-major pre-gathers
-        # (the render path reads the latter; the host gather is trivial).
+        # The render path reads the corner-major pre-gathers; the host gather
+        # over the cached immutable indices is trivial.
         for name, arr, cname, idx in (
-                ("vertices", vertices, "vert_c", vi),
-                ("normals", normals, "norm_c", ai),
-                ("attr_vec", attr_vec, "attr_c", ai)):
+                ("vertices", vertices, "vert_c", self._host_vi),
+                ("normals", normals, "norm_c", self._host_ai),
+                ("attr_vec", attr_vec, "attr_c", self._host_ai)):
             if arr is None:
                 continue
             arr = np.asarray(arr, np.float32)
-            if arr.shape != self.dev[name].shape:
+            if arr.shape != self._flat_shapes[name]:
                 raise ValueError(
-                    f"{name} shape {arr.shape} != bound {self.dev[name].shape}")
-            self.dev[name] = jnp.asarray(arr)
+                    f"{name} shape {arr.shape} != bound "
+                    f"{self._flat_shapes[name]}")
             self.dev[cname] = jnp.asarray(arr[idx])
 
     def render_batch(self, matrices: np.ndarray, width: int, height: int):

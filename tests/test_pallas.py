@@ -25,18 +25,34 @@ def identity_camera():
 
 
 def test_binning_partition_matches_stable_argsort():
-    # The single-key-sort stable partition (touching slots first, BOTH groups
-    # ascending) must equal the stable argsort of ~touch it replaced — the
-    # ascending order is what preserves reference depth-tie semantics.
+    # bin_triangles' single-key-sort stable partition (touching slots first,
+    # BOTH groups ascending) must equal a stable argsort of ~touch — the
+    # ascending order is what preserves reference depth-tie semantics. Drive
+    # the SHIPPED function on synthetic setups whose touch matrix is known.
     rng = np.random.default_rng(42)
-    for _ in range(20):
-        touch = rng.random((7, 64)) < rng.uniform(0.05, 0.9)
-        s = touch.shape[1]
-        slot = np.arange(s)[None, :]
-        keys = np.where(touch, slot, slot + s)
-        ids = np.sort(keys, axis=1) % s
+    for _ in range(10):
+        s = 48
+        w, h, tile_h = 256, 64, 8        # 2 x 8 tile grid
+        xmin = rng.integers(0, w, s); xmax = xmin + rng.integers(0, w, s)
+        ymin = rng.integers(0, h, s); ymax = ymin + rng.integers(0, h, s)
+        live = rng.random(s) < 0.8
+        setup = {k: jnp.asarray(v.astype(np.int32)) for k, v in
+                 dict(xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax).items()}
+        setup["live"] = jnp.asarray(live)
+        ids, counts = bin_triangles(setup, width=w, height=h,
+                                    tile_h=tile_h, tile_w=128)
+        ntx, nty = 2, 8
+        tx = np.arange(ntx); ty = np.arange(nty)
+        touch_x = ((tx[None] >= np.clip(xmin // 128, 0, ntx - 1)[:, None])
+                   & (tx[None] <= np.clip(xmax // 128, 0, ntx - 1)[:, None]))
+        touch_y = ((ty[None] >= np.clip(ymin // tile_h, 0, nty - 1)[:, None])
+                   & (ty[None] <= np.clip(ymax // tile_h, 0, nty - 1)[:, None]))
+        touch = ((touch_y[:, :, None] & touch_x[:, None, :])
+                 & live[:, None, None]).reshape(s, nty * ntx).T
         ref = np.argsort(~touch, axis=1, kind="stable")
-        np.testing.assert_array_equal(ids, ref)
+        np.testing.assert_array_equal(np.asarray(ids), ref)
+        np.testing.assert_array_equal(np.asarray(counts)[:, 0],
+                                      touch.sum(axis=1))
 
 
 def test_binning_covers_live_triangles():

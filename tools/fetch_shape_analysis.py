@@ -138,10 +138,12 @@ def main():
     args = p.parse_args()
 
     scene = SCENES[args.scene](seed=0)
+    # Replicate the bench flight exactly: frame k's matrix is k+1 updates
+    # each with up=1.0 (incl. the forced frame-0 update).
     cam = Camera()
-    m = cam.update(Input(), force_update=True).astype(np.float32)
-    for i in range(args.flight_frame):
-        m = cam.update(Input(up=1.0, mouse=(2.0 * (i + 1), 0.0)))
+    m = cam.update(Input(up=1.0, mouse=(0.0, 0.0)), force_update=True)
+    for i in range(1, args.flight_frame + 1):
+        m = cam.update(Input(up=1.0, mouse=(2.0 * i, 0.0)))
     m = np.asarray(m, np.float32)
     ty, tx = texel_planes(scene, m, args.width, args.height, DEFAULT_CONFIG)
 
