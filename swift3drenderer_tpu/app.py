@@ -171,16 +171,23 @@ class TerminalInput:
 
     Keys: w/a/s/d move (hold is emulated by key-repeat decay), SHIFT+wasd = 2x,
     arrow keys = mouse look, 'c' toggles mouse capture, 'q'/ESC quits.
+
+    The hold decay is WALL-CLOCK based (a key stays "down" HOLD_SECONDS after
+    its last press), so movement speed is independent of the render rate —
+    matching the reference, whose key state is true up/down callbacks under a
+    fixed 60 Hz loop (input.swift:30-40, main.swift:109).
     """
 
     ARROW = {b"A": (0.0, -15.0), b"B": (0.0, 15.0), b"C": (15.0, 0.0),
              b"D": (-15.0, 0.0)}  # up/down/right/left
-    HOLD_FRAMES = 12  # keep a key "down" this many frames after its last press
+    HOLD_SECONDS = 0.2  # keep a key "down" this long after its last press
 
-    def __init__(self, keyboard: Optional[KeyboardState] = None) -> None:
+    def __init__(self, keyboard: Optional[KeyboardState] = None,
+                 clock=time.monotonic) -> None:
         self.keyboard = keyboard or KeyboardState()
-        self._held: dict = {}
+        self._held: dict = {}  # key -> expiry timestamp
         self._esc = b""
+        self._clock = clock  # injectable for deterministic tests
 
     def feed(self, data: bytes) -> None:
         """Consume raw bytes read from the terminal (cbreak mode)."""
@@ -208,15 +215,16 @@ class TerminalInput:
             elif ch == "c":
                 self.keyboard.toggle_capture()
             elif ch.lower() in "wasd":
-                self._held[ch.lower()] = self.HOLD_FRAMES
+                expiry = self._clock() + self.HOLD_SECONDS
+                self._held[ch.lower()] = expiry
                 if ch.isupper():
-                    self._held["shift"] = self.HOLD_FRAMES
+                    self._held["shift"] = expiry
 
     def tick(self) -> None:
         """Advance one frame: expire held keys and sync the KeyboardState."""
+        now = self._clock()
         for key in list(self._held):
-            self._held[key] -= 1
-            if self._held[key] <= 0:
+            if self._held[key] <= now:
                 del self._held[key]
         for key in ("w", "a", "s", "d", "shift"):
             if key in self._held:
@@ -228,9 +236,16 @@ class TerminalInput:
 def run_interactive(scene: Scene, *, width: int, height: int,
                     backend: str = "xla",
                     config: RenderConfig = DEFAULT_CONFIG,
-                    max_frames: int = 0, columns: int = 100) -> int:
+                    max_frames: int = 0, columns: int = 100,
+                    fps: float = 60.0, gamepad: Optional[str] = None) -> int:
     """Live terminal session: cbreak stdin -> TerminalInput -> frame loop ->
-    ANSI half-block frames. Returns the number of frames rendered."""
+    ANSI half-block frames. Returns the number of frames rendered.
+
+    The loop is paced to ``fps`` (default the reference's fixed 60 Hz timer,
+    main.swift:39,109) with a frame-target sleep; telemetry's %-of-budget then
+    measures against a true 1/60 s cadence. ``fps=0`` free-runs.
+    ``gamepad`` optionally names a Linux joystick device (e.g.
+    ``/dev/input/js0``) merged with the keyboard input."""
     import select
     import termios
     import tty
@@ -238,27 +253,46 @@ def run_interactive(scene: Scene, *, width: int, height: int,
     loop = FrameLoop(scene, width, height, config=config, backend=backend,
                      stats=FrameStats(printer=None))
     term = TerminalInput(loop.keyboard)
+    pad = None
+    if gamepad is not None:
+        from .joystick import JoystickInput
+        pad = JoystickInput(gamepad)
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     frames = 0
+    target = 1.0 / fps if fps else 0.0
     try:
         tty.setcbreak(fd)
         sys.stdout.write("\x1b[?25l")  # hide cursor
         while not term.keyboard.quit_requested:
+            t0 = time.perf_counter()
             while select.select([fd], [], [], 0)[0]:
                 data = os.read(fd, 64)
                 if not data:
                     break
                 term.feed(data)
             term.tick()
-            pixels = loop.step()
+            inp = None
+            if pad is not None:
+                # Reference parity: when a controller is present it IS the
+                # movement/look input (input.swift:62-92 — the iOS virtual
+                # controller replaces keyboard+mouse); the terminal keyboard
+                # still handles quit/capture keys.
+                pad.poll()
+                inp = pad.update_input(loop.input)
+            pixels = loop.step(inp)
             sys.stdout.write("\x1b[H" + ansi_frame(pixels, columns=columns)
                              + "\n[wasd move, SHIFT 2x, arrows look, q quit]\n")
             sys.stdout.flush()
             frames += 1
             if max_frames and frames >= max_frames:
                 break
+            dt = time.perf_counter() - t0
+            if target > dt:
+                time.sleep(target - dt)
     finally:
+        if pad is not None:
+            pad.close()
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
         sys.stdout.write("\x1b[?25h")
     return frames
@@ -290,15 +324,22 @@ def run_headless(scene: Scene, *, width: int, height: int, frames: int,
                  out_dir: Optional[str] = None, out_every: int = 0,
                  checkpoint: Optional[str] = None,
                  terminal: bool = False, stats: Optional[FrameStats] = None,
+                 fps: float = 0.0,
                  ) -> Tuple[np.ndarray, FrameStats]:
-    """Scripted capture run; returns (last frame, stats)."""
+    """Scripted capture run; returns (last frame, stats).
+
+    ``fps`` > 0 paces the loop with a frame-target sleep (the reference's 60 Hz
+    timer semantics, main.swift:39,109) — useful with ``terminal`` presentation;
+    the default free-runs, which is what capture runs want."""
     stats = stats or FrameStats()
     loop = FrameLoop(scene, width, height, config=config, backend=backend,
                      stats=stats)
     if checkpoint and os.path.exists(checkpoint):
         loop.load_checkpoint(checkpoint)
     pixels = None
+    target = 1.0 / fps if fps else 0.0
     for i, inp in enumerate(scripted_inputs(script, frames)):
+        t0 = time.perf_counter()
         pixels = loop.step(inp)
         if out_dir and out_every and i % out_every == 0:
             os.makedirs(out_dir, exist_ok=True)
@@ -307,6 +348,9 @@ def run_headless(scene: Scene, *, width: int, height: int, frames: int,
         if terminal:
             sys.stdout.write("\x1b[H\x1b[2J" + ansi_frame(pixels) + "\n")
             sys.stdout.flush()
+        dt = time.perf_counter() - t0
+        if target > dt:
+            time.sleep(target - dt)
     if checkpoint:
         loop.save_checkpoint(checkpoint)
     return pixels, stats
@@ -343,6 +387,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "pointer-lock mouse capture and WASD input")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--fps", type=float, default=None,
+                   help="loop pacing in Hz (default: 60 for --interactive / "
+                        "--serve like the reference's 60 Hz timer, free-run "
+                        "for capture; 0 = free-run)")
+    p.add_argument("--gamepad", nargs="?", const="/dev/input/js0", default=None,
+                   metavar="DEV",
+                   help="read a Linux joystick device (default /dev/input/js0)"
+                        " as the movement/look input")
     args = p.parse_args(argv)
 
     if os.path.exists(args.scene):
@@ -358,17 +410,21 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         run_serve(scene, width=args.width, height=args.height,
                   backend=args.backend, host=args.host, port=args.port,
-                  max_frames=args.frames)
+                  max_frames=args.frames,
+                  **({"fps": args.fps} if args.fps is not None else {}),
+                  **({"gamepad": args.gamepad} if args.gamepad else {}))
         return 0
     if args.interactive:
         run_interactive(scene, width=args.width, height=args.height,
-                        backend=args.backend, max_frames=args.frames)
+                        backend=args.backend, max_frames=args.frames,
+                        fps=60.0 if args.fps is None else args.fps,
+                        gamepad=args.gamepad)
         return 0
     pixels, stats = run_headless(
         scene, width=args.width, height=args.height, frames=args.frames,
         script=args.script, backend=args.backend, out_dir=args.out,
         out_every=args.out_every, checkpoint=args.checkpoint,
-        terminal=args.terminal)
+        terminal=args.terminal, fps=args.fps or 0.0)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
         write_ppm(os.path.join(args.out, "final.ppm"), unpack_rgb_words(pixels))

@@ -390,10 +390,14 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # the extra strips don't multiply fixed costs.
             sph = min(_NEAREST_STRIP_H if not bilinear else _FETCH_STRIP_H,
                       tile_h)
-            assert sph > 0 and sph % 8 == 0 and tile_h % sph == 0, (
-                f"fetch strip height {sph} must be a positive multiple of 8 "
-                f"dividing tile_h={tile_h} (check S3D_NEAREST_STRIP_H / "
-                f"S3D_FETCH_STRIP_H)")
+            # ValueError, not assert: under `python -O` a stripped assert would
+            # silently truncate the strips loop (tile_h // sph) and leave the
+            # tile's bottom rows unfetched.
+            if not (sph > 0 and sph % 8 == 0 and tile_h % sph == 0):
+                raise ValueError(
+                    f"fetch strip height {sph} must be a positive multiple of "
+                    f"8 dividing tile_h={tile_h} (check S3D_NEAREST_STRIP_H / "
+                    f"S3D_FETCH_STRIP_H)")
             zf8 = jnp.zeros((sph, tile_w), jnp.float32)
 
             zi8 = jnp.zeros((sph, tile_w), jnp.int32)
@@ -679,6 +683,10 @@ MAX_SLOTS_PER_PASS = 2048
 # (no per-b window double-buffering), so a 4096-slot table (~940 KB with
 # counts + scratch) still fits the 1 MB SMEM. Validated on-chip.
 MAX_SLOTS_PER_PASS_B1 = 4096
+
+# NOTE: both S3D_*_STRIP_H env knobs below are read ONCE at module import —
+# setting them afterwards (e.g. from a notebook or a test) has no effect.
+# They exist for on-chip A/B probes launched as fresh processes.
 
 # Pixel-strip height of the BILINEAR fetch phase (multiple of 8; <= tile_h).
 # Re-measured on-chip after the round-2 midpoint-split rework (config 2,
@@ -1004,7 +1012,11 @@ def render_batch_pallas(
     kernel grid (B, nty, ntx), so B frames cost ~B kernel-grid time with a
     single geometry front-end batch — no per-frame dispatch or lax.map."""
     if tile_h is None:
-        tile_h = _pick_tile_h(dev, height, MAX_SLOTS_PER_PASS)
+        # The multipass cap depends on the actual batch size: B=1 SMEM tables
+        # are full-resident (MAX_SLOTS_PER_PASS_B1), matching
+        # _rasterize_multipass's own pick.
+        cap = MAX_SLOTS_PER_PASS_B1 if ms.shape[0] == 1 else MAX_SLOTS_PER_PASS
+        tile_h = _pick_tile_h(dev, height, cap)
     from ..renderer import build_setup
 
     setup = jax.vmap(lambda m: build_setup(

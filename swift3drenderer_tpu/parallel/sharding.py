@@ -136,6 +136,15 @@ def render_scene_sharded(
     Only the pallas backend carries the exact-tie winner ids; the xla backend
     merges on strictly-greater depth (ties then favor lower-ranked devices,
     which hold lower slot ranges — still reference order).
+
+    ICI traffic: the composite is a butterfly (recursive-doubling) ppermute
+    reduce when every mesh axis is a power of two — each device exchanges the
+    (pix, 1/z, gid) planes log2(n) times, i.e. 12*log2(n) bytes/pixel, vs the
+    all_gather fallback's 12*(n-1) (n=8: 36 vs 84 B/px, 2.3x less traffic, and
+    the merge is log-depth instead of a serial n-way scan). The merge key
+    (max 1/z, then min global id) is a total order per pixel — gids are unique
+    across shards — so any reduction order yields bit-identical pixels; the
+    non-power-of-two fallback keeps the gather+scan form.
     """
     from ..ops.raster_pallas import _rasterize_multipass
 
@@ -171,8 +180,16 @@ def render_scene_sharded(
                 background=config.background_packed, sampling=config.sampling)
             gid = jnp.where(ooz > 0, lo, jnp.int32(2 ** 30))
 
-        # Depth-composite across the mesh: gather every shard's frame over
-        # ICI and reduce locally by (max 1/z, then min global id).
+        # Depth-composite across the mesh by (max 1/z, then min global id).
+        if all(mesh.shape[ax] & (mesh.shape[ax] - 1) == 0 for ax in axes):
+            # Butterfly ppermute reduce: log2(n) pairwise exchanges per axis
+            # (the key is a total order per pixel, so per-axis reduction
+            # composes and any order is bit-identical to the gather+scan).
+            fpix, fooz, _ = _butterfly_merge(pix, ooz, gid, axes, mesh)
+            return fpix, fooz
+
+        # Fallback (non-power-of-two axis): gather every shard's frame over
+        # ICI and reduce locally.
         parts_pix = jax.lax.all_gather(pix, axes)   # (n, H, W)
         parts_ooz = jax.lax.all_gather(ooz, axes)
         parts_gid = jax.lax.all_gather(gid, axes)
@@ -201,6 +218,31 @@ def render_scene_sharded(
         check_vma=False,
     )
     return fn(dev, m)
+
+
+def _butterfly_merge(pix, ooz, gid, axes, mesh):
+    """Recursive-doubling depth composite: every device ends with the full
+    merged frame after sum(log2(size)) pairwise (1/z, gid) exchanges.
+
+    The per-pixel merge key is a lexicographic max over (1/z, -gid) — an
+    associative, commutative reduction — so reducing each mesh axis in turn
+    with XOR-partner butterflies produces the same winner as any other order.
+    Requires every axis size to be a power of two (XOR partners must exist).
+    """
+    for ax in axes:
+        size = mesh.shape[ax]
+        k = 1
+        while k < size:
+            perm = [(i, i ^ k) for i in range(size)]
+            opix = jax.lax.ppermute(pix, ax, perm)
+            oooz = jax.lax.ppermute(ooz, ax, perm)
+            ogid = jax.lax.ppermute(gid, ax, perm)
+            upd = (oooz > ooz) | ((oooz == ooz) & (oooz > 0) & (ogid < gid))
+            pix = jnp.where(upd, opix, pix)
+            ooz = jnp.where(upd, oooz, ooz)
+            gid = jnp.where(upd, ogid, gid)
+            k *= 2
+    return pix, ooz, gid
 
 
 def _rasterize_chunked_ids(batched, textures, *, gids, width, height, config,

@@ -117,13 +117,17 @@ class ViewerServer:
 
     def __init__(self, loop: FrameLoop, host: str = "127.0.0.1",
                  port: int = 8000, fps: float = 60.0,
-                 quality: int = 85) -> None:
+                 quality: int = 85, gamepad: Optional[str] = None) -> None:
         self.loop = loop
         self.hub = FrameHub()
         self.fps = fps
         self.quality = quality
         self._stop = threading.Event()
         self._lock = threading.Lock()  # guards KeyboardState mutation
+        self.pad = None
+        if gamepad is not None:
+            from .joystick import JoystickInput
+            self.pad = JoystickInput(gamepad)
 
         hub, stop, lock, kb = self.hub, self._stop, self._lock, loop.keyboard
         resize_req: list = []
@@ -212,7 +216,13 @@ class ViewerServer:
                 del self._resize_req[:]
                 if (w, h) != (self.loop.width, self.loop.height):
                     self.loop.resize(w, h)
-            inp = self.loop.keyboard.update_input(self.loop.input)
+            if self.pad is not None:
+                # A physical controller IS the movement/look input (reference
+                # input.swift:62-92); browser keys still drive capture/quit.
+                self.pad.poll()
+                inp = self.pad.update_input(self.loop.input)
+            else:
+                inp = self.loop.keyboard.update_input(self.loop.input)
         pixels = self.loop.step(inp)
         self.hub.publish(encode_jpeg(pixels, self.quality))
         return pixels
@@ -241,13 +251,16 @@ class ViewerServer:
 
     def stop(self) -> None:
         self._stop.set()
+        if self.pad is not None:
+            self.pad.close()
         self.hub.publish(self.hub._jpeg or b"")  # wake streamers
         self.httpd.shutdown()
 
 
 def run_serve(scene, *, width: int, height: int, backend: str = "xla",
               config=None, host: str = "127.0.0.1", port: int = 8000,
-              fps: float = 60.0, max_frames: int = 0) -> int:
+              fps: float = 60.0, max_frames: int = 0,
+              gamepad: Optional[str] = None) -> int:
     """Entry point for ``python -m swift3drenderer_tpu.app --serve``."""
     from .config import DEFAULT_CONFIG
     from .utils.telemetry import FrameStats
@@ -257,6 +270,6 @@ def run_serve(scene, *, width: int, height: int, backend: str = "xla",
     loop = FrameLoop(scene, width, height,
                      config=config or DEFAULT_CONFIG, backend=backend,
                      stats=FrameStats(), bucketed=True)
-    server = ViewerServer(loop, host=host, port=port, fps=fps)
+    server = ViewerServer(loop, host=host, port=port, fps=fps, gamepad=gamepad)
     print(f"serving live view on http://{host}:{server.port}/", flush=True)
     return server.serve_forever(max_frames=max_frames)

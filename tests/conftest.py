@@ -23,6 +23,35 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# -- quick tier ---------------------------------------------------------------
+# `pytest -m quick` runs a <60 s core-parity subset (unit math, IO round-trips,
+# app shell, golden-oracle spot checks) so kernel iteration doesn't pay the
+# full suite's ~9 min. The full suite (ci.sh) stays the merge gate.
+_QUICK_MODULES = {
+    "test_camera", "test_databin", "test_ripmap", "test_native",
+    "test_joystick", "test_app", "test_golden",
+}
+# Individually fast core-parity tests from otherwise-slow modules.
+_QUICK_TESTS = {
+    "test_tetrahedron_fixed_camera",            # device-vs-golden render
+    "test_depth_is_one_over_z",
+    "test_binning_partition_matches_stable_argsort",
+}
+# Slow outliers inside quick modules.
+_SLOW_TESTS = {
+    "test_clip_prepass_matches_golden_on_random_triangles",  # ~18 s
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        name = item.name.split("[")[0]
+        module = item.module.__name__.rsplit(".", 1)[-1]
+        if name in _SLOW_TESTS:
+            continue
+        if module in _QUICK_MODULES or name in _QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -132,7 +132,8 @@ def test_elastic_fallback_to_native_backend(monkeypatch):
 def test_terminal_input_parser():
     from swift3drenderer_tpu.app import TerminalInput
     from swift3drenderer_tpu.camera import Input, KeyboardState
-    term = TerminalInput(KeyboardState())
+    clock = [0.0]  # injectable wall clock — the hold decay is time-based
+    term = TerminalInput(KeyboardState(), clock=lambda: clock[0])
     term.feed(b"w")
     term.tick()
     inp = term.keyboard.update_input(Input())
@@ -146,9 +147,14 @@ def test_terminal_input_parser():
     term.feed(b"\x1b[C")
     inp = term.keyboard.update_input(Input())
     assert term.keyboard.mouse_captured and inp.mouse[0] == 15.0
-    # Keys decay after HOLD_FRAMES ticks.
-    for _ in range(term.HOLD_FRAMES + 1):
+    # Keys stay held for HOLD_SECONDS of wall clock, regardless of tick rate.
+    clock[0] += term.HOLD_SECONDS / 2
+    for _ in range(100):  # many fast frames — must NOT expire the hold early
         term.tick()
+    inp = term.keyboard.update_input(Input())
+    assert inp.up == 2.0 and inp.right == 2.0
+    clock[0] += term.HOLD_SECONDS  # past expiry: keys decay even in ONE tick
+    term.tick()
     inp = term.keyboard.update_input(Input())
     assert inp.up == 0.0 and inp.right == 0.0
     # Bare ESC and q request quit.
