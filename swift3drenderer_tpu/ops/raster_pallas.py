@@ -138,21 +138,31 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
 
 def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                    bilinear: bool = False, phases: str = "full",
-                   track_ids: bool = False):
+                   track_ids: bool = False, ids_resident: bool = False):
     """Kernel factory: visibility + in-kernel shading and texture fetch per tile.
 
     ``phases`` is a timing instrument (tools/perf_probe.py): "vis" stops after
     visibility, "shade" skips the texel fetch — outputs are then WRONG; only
     "full" renders correctly. ``track_ids`` adds a third output plane with the
     winners' GLOBAL setup ids (row _GID) — only needed by spatially-partitioned
-    multipass merges, so single-pass frames don't pay for it.
+    multipass merges, so single-pass frames don't pay for it. ``ids_resident``
+    switches the per-tile id lists from HBM+DMA-scratch to a fully SMEM-resident
+    (B*ntiles, 128) table — only possible when every tile's list fits one
+    128-lane row and the whole table fits the SMEM budget (small scenes, incl.
+    the reference's 51-triangle default): saves the per-grid-step DMA.
     """
     assert tile_w == 128 and tile_h in (8, 16, 32, 64, 128), \
         "in-kernel texel fetch assumes 128-lane tiles with pow2 sublane height"
 
-    def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_hbm, atlas_ref,
+    def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_in, atlas_ref,
                *out_and_scratch):
-        if track_ids:
+        if ids_resident:
+            if track_ids:
+                pix_ref, ooz_ref, gid_ref = out_and_scratch
+            else:
+                pix_ref, ooz_ref = out_and_scratch
+                gid_ref = None
+        elif track_ids:
             pix_ref, ooz_ref, gid_ref, ids_ref, ids_sem = out_and_scratch
         else:
             pix_ref, ooz_ref, ids_ref, ids_sem = out_and_scratch
@@ -167,12 +177,24 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         ntx = pl.num_programs(2)
         tile = ty * ntx + tx
 
-        # This tile's triangle id list: HBM -> SMEM scratch (the full (ntiles, S)
-        # table is far too large for SMEM residency; one row is a few hundred
-        # bytes). The copy overlaps the pixel-coordinate setup below.
-        dma = pltpu.make_async_copy(ids_hbm.at[b * nty * ntx + tile],
-                                    ids_ref, ids_sem)
-        dma.start()
+        if ids_resident:
+            # The whole (B*ntiles, 128) id table is SMEM-resident: each tile's
+            # list is one row, indexed directly — no DMA on the grid step.
+            tile_row = b * nty * ntx + tile
+
+            def slot_id(i):
+                return ids_in[tile_row, i]
+        else:
+            # This tile's triangle id list: HBM -> SMEM scratch (the full
+            # (ntiles, S) table is far too large for SMEM residency; one row is
+            # a few hundred bytes). The copy overlaps the pixel-coordinate
+            # setup below.
+            dma = pltpu.make_async_copy(ids_in.at[b * nty * ntx + tile],
+                                        ids_ref, ids_sem)
+            dma.start()
+
+            def slot_id(i):
+                return ids_ref[i >> 7, i & 127]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
@@ -182,7 +204,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         pxf = pxi.astype(jnp.float32)
 
         n = counts_ref[0, tile]  # this tile's binned triangle count
-        dma.wait()
+        if not ids_resident:
+            dma.wait()
 
         def weights(s):
             w0 = trf_ref[_W00 + 0, s] + pxf * trf_ref[_DX + 0, s] + pyf * trf_ref[_DY + 0, s]
@@ -193,7 +216,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         # ---- phase 1: visibility ----
         def vis_body(i, carry):
             best, win = carry[0], carry[1]
-            s = ids_ref[i >> 7, i & 127]
+            s = slot_id(i)
             w0, w1, w2 = weights(s)
             cover = (
                 (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
@@ -244,7 +267,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         inv = 1.0 / best  # best > 0 wherever any mask holds
 
         def shade_body(i, carry):
-            s = ids_ref[i >> 7, i & 127]
+            s = slot_id(i)
             mask = win == s
             # Skip slots that won nothing in this tile (an any-reduce + branch
             # vs ~60 vector ops of interpolation/lighting): with overdraw or
@@ -402,12 +425,6 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 
             zi8 = jnp.zeros((sph, tile_w), jnp.int32)
 
-            def tree_or(vals):
-                while len(vals) > 1:
-                    vals = [vals[i] | vals[i + 1] if i + 1 < len(vals)
-                            else vals[i] for i in range(0, len(vals), 2)]
-                return vals[0]
-
             def fetch_strip(strip):
                 """Fetch one pixel strip's texels: (active, coordinate
                 planes) sliced to (sph, tile_w). Nearest accumulates the
@@ -419,25 +436,38 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     LYMIN = LYMAX = LY0
                     ch0, ln0 = LX0 >> 7, LX0 & 127
                     CHMIN = CHMAX = ch0
-                    # Fused row+chunk match key: one compare per unrolled row
-                    # instead of two compares + two ands.
-                    KEY = jnp.where(active, (LY0 << 2) | ch0, -1)
+                    # Block-level match key + cached row-bit predicates: the
+                    # previous form compared a fused (row, chunk) key per
+                    # unrolled row (8 compares + 8 masked selects + an OR tree
+                    # per block). Each pixel's target row WITHIN its matching
+                    # block is just LY0 & 7, so a 3-level select tree over
+                    # precomputed bit predicates picks the pixel's own row
+                    # from the 8 gathered values (7 selects), and ONE
+                    # block+chunk compare masks the result — ~37% fewer
+                    # vector ops per block scan, same gathers.
+                    BKEY = jnp.where(active, ((LY0 >> 3) << 2) | ch0, -1)
+                    REL = LY0 & 7
+                    RB0 = (REL & 1) != 0   # strip-invariant: computed once,
+                    RB1 = (REL & 2) != 0   # loop bodies close over them
+                    RB2 = (REL & 4) != 0
 
-                    def block_contribs(b, c):
-                        """Masked texel contributions of one 8-row atlas block
-                        at chunk c: each pixel's (row, chunk) key matches
-                        EXACTLY one unrolled row across the whole scan, so
-                        contributions OR together (no select chain)."""
+                    def block_contrib(b, c):
+                        """Masked texel contribution of one 8-row atlas block
+                        at chunk c: gather all 8 rows at each pixel's lane,
+                        tree-select the pixel's own row (LY0 & 7), mask by the
+                        block+chunk key. Each pixel matches EXACTLY one (b, c)
+                        across the whole scan, so contributions OR together."""
                         block = atlas_ref[pl.ds(pl.multiple_of(b * 8, 8), 8),
                                           pl.ds(pl.multiple_of(c * 128, 128), 128)]
-                        out = []
-                        for r in range(8):
-                            rowb = jnp.broadcast_to(block[r: r + 1, :],
-                                                    (sph, tile_w))
-                            g = jnp.take_along_axis(rowb, ln0, axis=1)
-                            out.append(
-                                jnp.where(KEY == (((b * 8 + r) << 2) | c), g, 0))
-                        return out
+                        g = [jnp.take_along_axis(
+                                jnp.broadcast_to(block[r: r + 1, :],
+                                                 (sph, tile_w)), ln0, axis=1)
+                             for r in range(8)]
+                        s0 = [jnp.where(RB0, g[i + 1], g[i])
+                              for i in (0, 2, 4, 6)]
+                        s1 = [jnp.where(RB1, s0[i + 1], s0[i]) for i in (0, 2)]
+                        sel = jnp.where(RB2, s1[1], s1[0])
+                        return jnp.where(BKEY == ((b << 2) | c), sel, 0)
 
                     # Flat fast path (the overwhelmingly common strip shape:
                     # one texture, texel columns within <= 2 lane chunks): a
@@ -490,13 +520,13 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # strip-level cond picks the single-chunk body instead.
                     def fast1(acc):
                         def body(b, gp):
-                            return gp | tree_or(block_contribs(b, cmin_a))
+                            return gp | block_contrib(b, cmin_a)
                         return (_fast_scan(body, acc[0]),)
 
                     def fast2(acc):
                         def body(b, gp):
-                            return gp | tree_or(block_contribs(b, cmin_a)
-                                                + block_contribs(b, cmin_a + 1))
+                            return (gp | block_contrib(b, cmin_a)
+                                    | block_contrib(b, cmin_a + 1))
                         return (_fast_scan(body, acc[0]),)
 
                     def fast(acc):
@@ -555,39 +585,36 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # hides.)
                     def block_body(b, acc):
                         def chunk_body(c, acc):
-                            if bilinear:
-                                ar, ag, ab = acc
-                            else:
-                                (gp,) = acc
+                            if not bilinear:
+                                # Same tree-select contribution as the fast
+                                # path (BKEY covers absolute rows incl. the
+                                # texture base, so it is texture-agnostic).
+                                return (acc[0] | block_contrib(b, c),)
+                            ar, ag, ab = acc
                             block = atlas_ref[pl.ds(pl.multiple_of(b * 8, 8), 8),
                                               pl.ds(pl.multiple_of(c * 128, 128), 128)]
-                            # Each pixel's (row, chunk) key matches EXACTLY one
-                            # unrolled row across the whole scan, so rows
-                            # contribute independent masked values OR-reduced
-                            # (nearest) / added (bilinear) as a TREE — not a
-                            # serial select chain through the accumulator.
-                            # Breaking that 8-deep gather->select dependency
-                            # chain is what lets the VPU pipeline the rows.
+                            # Each pixel's (row, chunk) pair matches EXACTLY
+                            # one unrolled row across the whole scan, so rows
+                            # contribute independent weighted values added as
+                            # a TREE — not a serial chain through the
+                            # accumulator. Breaking that 8-deep gather->select
+                            # dependency chain is what lets the VPU pipeline
+                            # the rows.
                             contribs = []
                             for r in range(8):
                                 y = b * 8 + r
                                 rowb = jnp.broadcast_to(block[r: r + 1, :],
                                                         (sph, tile_w))
-                                if not bilinear:
-                                    g = jnp.take_along_axis(rowb, ln0, axis=1)
-                                    contribs.append(
-                                        jnp.where(KEY == ((y << 2) | c), g, 0))
-                                else:
-                                    yw = (jnp.where(active & (LY0 == y), 1.0 - WY, 0.0)
-                                          + jnp.where(active & (LY1 == y), WY, 0.0))
-                                    g0 = jnp.take_along_axis(rowb, ln0, axis=1)
-                                    g1 = jnp.take_along_axis(rowb, ln1, axis=1)
-                                    xw0 = jnp.where(ch0 == c, 1.0 - WX, 0.0)
-                                    xw1 = jnp.where(ch1 == c, WX, 0.0)
-                                    r_ = xw0 * ((g0 >> 16) & 0xFF) + xw1 * ((g1 >> 16) & 0xFF)
-                                    g_ = xw0 * ((g0 >> 8) & 0xFF) + xw1 * ((g1 >> 8) & 0xFF)
-                                    b_ = xw0 * (g0 & 0xFF) + xw1 * (g1 & 0xFF)
-                                    contribs.append((yw * r_, yw * g_, yw * b_))
+                                yw = (jnp.where(active & (LY0 == y), 1.0 - WY, 0.0)
+                                      + jnp.where(active & (LY1 == y), WY, 0.0))
+                                g0 = jnp.take_along_axis(rowb, ln0, axis=1)
+                                g1 = jnp.take_along_axis(rowb, ln1, axis=1)
+                                xw0 = jnp.where(ch0 == c, 1.0 - WX, 0.0)
+                                xw1 = jnp.where(ch1 == c, WX, 0.0)
+                                r_ = xw0 * ((g0 >> 16) & 0xFF) + xw1 * ((g1 >> 16) & 0xFF)
+                                g_ = xw0 * ((g0 >> 8) & 0xFF) + xw1 * ((g1 >> 8) & 0xFF)
+                                b_ = xw0 * (g0 & 0xFF) + xw1 * (g1 & 0xFF)
+                                contribs.append((yw * r_, yw * g_, yw * b_))
 
                             def tree(vals, op):
                                 while len(vals) > 1:
@@ -595,13 +622,10 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                                             else vals[i] for i in range(0, len(vals), 2)]
                                 return vals[0]
 
-                            if not bilinear:
-                                gp = gp | tree(contribs, jnp.bitwise_or)
-                            else:
-                                ar = ar + tree([ct[0] for ct in contribs], jnp.add)
-                                ag = ag + tree([ct[1] for ct in contribs], jnp.add)
-                                ab = ab + tree([ct[2] for ct in contribs], jnp.add)
-                            return (ar, ag, ab) if bilinear else (gp,)
+                            ar = ar + tree([ct[0] for ct in contribs], jnp.add)
+                            ag = ag + tree([ct[1] for ct in contribs], jnp.add)
+                            ab = ab + tree([ct[2] for ct in contribs], jnp.add)
+                            return (ar, ag, ab)
 
                         # (A per-block "any pixel needs this block" cond was
                         # measured 5-25% SLOWER across configs: touched row
@@ -736,16 +760,25 @@ def _rasterize_chunk(
     ids, counts = jax.vmap(partial(
         bin_triangles, width=width, height=height,
         tile_h=tile_h, tile_w=tile_w, y_offset=y_offset))(setup)
-    # HBM->SMEM DMA: pad each tile's id row to a 128-lane multiple and shape it
-    # (B*ntiles, k, 128) so the per-tile DMA slices a leading (untiled) dim —
-    # single-row slices of a lane-tiled 2D memref are rejected by Mosaic, and k
-    # itself must be sublane-aligned (multiple of 8) or the copy faults.
     # +3 margin: the 4-wide visibility unroll may read up to position n+2
     # (guarded inactive), which must stay inside the padded table even when
     # every slot touches one tile (n == s == s_pad otherwise possible).
-    k = max(8, _cdiv(_cdiv(s + 3, 128), 8) * 8)
-    s_pad = k * 128
-    ids = jnp.pad(ids, ((0, 0), (0, 0), (0, s_pad - s))).reshape(-1, k, 128)
+    # Small scenes (every tile's id list fits one 128-lane row AND the whole
+    # (B*ntiles, 128) table fits a fraction of SMEM) keep the table fully
+    # SMEM-resident — no per-grid-step DMA. Larger scenes shape it
+    # (B*ntiles, k, 128) in HBM and DMA one tile's rows per step: single-row
+    # slices of a lane-tiled 2D memref are rejected by Mosaic, and k must be
+    # sublane-aligned (multiple of 8) or the copy faults.
+    ids_resident = (s + 3 <= 128) and (bsz * nty * ntx <= 512)
+    if ids_resident:
+        rows = bsz * nty * ntx
+        rpad = _cdiv(rows, 8) * 8
+        ids = jnp.pad(ids, ((0, 0), (0, 0), (0, 128 - s))).reshape(-1, 128)
+        ids = jnp.pad(ids, ((0, rpad - rows), (0, 0)))
+    else:
+        k = max(8, _cdiv(_cdiv(s + 3, 128), 8) * 8)
+        s_pad = k * 128
+        ids = jnp.pad(ids, ((0, 0), (0, 0), (0, s_pad - s))).reshape(-1, k, 128)
     track_ids = gids is not None
     y0 = jnp.asarray(y_offset, jnp.int32).reshape(1, 1)
     trf, tri = jax.vmap(lambda st: pack_setup_tables(st, gids))(setup)  # (B, R, S)
@@ -785,10 +818,22 @@ def _rasterize_chunk(
     out_shape = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
         (bsz, nty * tile_h, ntx * tile_w), dt)
 
+    if ids_resident:
+        # Whole (B*ntiles, 128) id table SMEM-resident; no scratch/DMA.
+        ids_spec = pl.BlockSpec((ids.shape[0], 128), lambda b, ty, tx: (0, 0),
+                                memory_space=pltpu.SMEM)
+        scratch = []
+    else:
+        # The (B*ntiles, k, 128) id table stays in HBM; the kernel DMAs one
+        # tile's rows into SMEM scratch per grid step.
+        ids_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        scratch = [pltpu.SMEM((k, 128), jnp.int32),  # this tile's id list
+                   pltpu.SemaphoreType.DMA]
+
     outs = pl.pallas_call(
         _raster_kernel(tile_h, tile_w, background, atlas_rows,
                        bilinear=(sampling == "bilinear"), phases=phases,
-                       track_ids=track_ids),
+                       track_ids=track_ids, ids_resident=ids_resident),
         grid=(bsz, nty, ntx),
         in_specs=[
             smem_b(8, nty * ntx),           # frame b's per-tile counts
@@ -796,9 +841,7 @@ def _rasterize_chunk(
             smem_b(i32_rows, s),            # frame b's i32 constants
             pl.BlockSpec((1, 1), lambda b, ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),  # y_offset (shared)
-            # The (B*ntiles, S) id table stays in HBM; the kernel DMAs one row
-            # per tile into SMEM scratch.
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ids_spec,
             # Whole texture atlas VMEM-resident (1 MB per texture).
             pl.BlockSpec((atlas_rows, 512), lambda b, ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -806,11 +849,7 @@ def _rasterize_chunk(
         out_specs=[out_tile()] * (3 if track_ids else 2),
         out_shape=([out_shape(jnp.int32), out_shape(jnp.float32)]
                    + ([out_shape(jnp.int32)] if track_ids else [])),
-        scratch_shapes=[
-            # this tile's id list, (k, 128) lane- and sublane-padded
-            pltpu.SMEM((k, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(counts, trf, tri, y0, ids, atlas)
     return tuple(o[:, :height, :width].astype(dt) for o, dt in zip(
