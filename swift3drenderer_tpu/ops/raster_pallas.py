@@ -728,9 +728,13 @@ _NEAREST_STRIP_H = int(os.environ.get("S3D_NEAREST_STRIP_H", "16"))
 # VMEM budget for the resident texture atlas (1 MB per 512x512 texture).
 # Probed on-chip (tools; 2026-08-16): a 96 MB atlas compiles and renders
 # correctly on v5e, so the round-1 12 MB bound was ~8x too conservative.
-# 96 MB (96 textures) is the validated ceiling; scenes beyond it fall back
-# to the XLA rasterizer transparently.
+# 96 MB (96 textures) is the validated ceiling; scenes beyond it render in
+# texture PAGES (_rasterize_texture_paged) — one kernel pass per 96-texture
+# page, merged by (depth, global slot id).
 ATLAS_VMEM_BUDGET = 96 * 1024 * 1024
+
+# Textures per VMEM-resident atlas page (512x512 RGBA-word = 1 MB each).
+MAX_ATLAS_TEXTURES = ATLAS_VMEM_BUDGET // (512 * 512 * 4)
 
 
 def _rasterize_chunk(
@@ -922,6 +926,8 @@ def rasterize_pallas_batch(
 def _rasterize_multipass(setup, textures, spatial=False, **kw):
     bsz, s = setup["live"].shape
     cap = MAX_SLOTS_PER_PASS_B1 if bsz == 1 else MAX_SLOTS_PER_PASS
+    if textures.shape[0] > MAX_ATLAS_TEXTURES:
+        return _rasterize_texture_paged(setup, textures, cap=cap, **kw)
     if s <= cap:
         pix, ooz = _rasterize_chunk(setup, textures, **kw)
         return pix, ooz
@@ -980,6 +986,62 @@ def _rasterize_multipass(setup, textures, spatial=False, **kw):
     return pix, ooz
 
 
+def _rasterize_texture_paged(setup, textures, *, cap, **kw):
+    """Scenes beyond the VMEM atlas budget: render in texture PAGES.
+
+    Page p holds textures [p*96, (p+1)*96); its passes render only the slots
+    whose texture id falls in the page (untextured slots ride page 0), with
+    the page's atlas slice VMEM-resident and slot tex ids remapped page-local.
+    Out-of-page slots are culled by the ``live`` mask, so they drop out of
+    binning entirely — a page's tiles bin only its own slots, and shading /
+    texel-fetch work does not multiply across pages; only the per-pass grid
+    fixed cost does (npages = ceil(NT / 96) passes for single-page-sized slot
+    tables).
+
+    Exactness: every pass outputs its winners' GLOBAL slot ids, and passes
+    merge by (max 1/z, then min global id) — the same exact-tie merge the
+    spatial slot multipass uses — so the composite is pixel-identical to a
+    hypothetical single pass over an unbounded atlas, preserving the
+    reference's earlier-triangle-wins depth ties (render.swift:324) across
+    any page/chunk split. Within a pass, slot order is untouched (ascending),
+    so the kernel's strict in-pass rule keeps the same order.
+
+    This replaces the former transparent XLA fallback, which was ~7x slower
+    than the reference C++ core at 1080p; the XLA rasterizer remains as an
+    explicit CPU/portability backend only.
+    """
+    bsz, s = setup["live"].shape
+    nt = textures.shape[0]
+    npages = _cdiv(nt, MAX_ATLAS_TEXTURES)
+    gids = jnp.arange(s, dtype=jnp.int32)
+    pix = ooz = gid = None
+    for page in range(npages):
+        t0 = page * MAX_ATLAS_TEXTURES
+        t1 = min(t0 + MAX_ATLAS_TEXTURES, nt)
+        in_page = (setup["is_tex"] & (setup["tex"] >= t0)
+                   & (setup["tex"] < t1))
+        keep = in_page if page else (in_page | ~setup["is_tex"])
+        sub = dict(setup)
+        sub["live"] = setup["live"] & keep
+        # Page-local atlas indices; out-of-page slots are dead (never binned),
+        # 0 just keeps their table rows in-range.
+        sub["tex"] = jnp.where(in_page, setup["tex"] - t0, 0)
+        atlas_page = textures[t0:t1]
+        for c0 in range(0, s, cap):
+            chunk = {k: v[:, c0: c0 + cap] for k, v in sub.items()}
+            p, o, g = _rasterize_chunk(chunk, atlas_page,
+                                       gids=gids[c0: c0 + cap], **kw)
+            if pix is None:
+                pix, ooz, gid = p, o, g
+            else:
+                upd = (o > ooz) | ((o == ooz) & (g >= 0)
+                                  & ((gid < 0) | (g < gid)))
+                pix = jnp.where(upd, p, pix)
+                ooz = jnp.where(upd, o, ooz)
+                gid = jnp.where(upd, g, gid)
+    return pix, ooz
+
+
 def _pick_tile_h(dev, height: int, cap: int) -> int:
     """Adaptive tile height: 128 from 720p up (fewer grid steps once the
     strip/block fetch made the per-step fixed cost dominant), EXCEPT for
@@ -1013,20 +1075,15 @@ def render_frame_pallas(
     small triangles the finer binning outweighs the grid cost (10,083 tris
     @1080p: 11.7 ms at 64 vs 13.1 at 128, on-chip).
 
-    Scenes whose texture set exceeds the kernel's VMEM atlas budget fall back to
-    the XLA rasterizer (slower but unbounded — its texel fetch is an HBM gather).
+    Scenes whose texture set exceeds the kernel's VMEM atlas budget render in
+    texture pages (_rasterize_texture_paged) — still fully in-kernel, ~npages
+    kernel passes merged exactly by (depth, global slot id).
     """
     if tile_h is None:
         tile_h = _pick_tile_h(dev, height, MAX_SLOTS_PER_PASS_B1)
     from ..renderer import build_setup
-    from .raster_xla import rasterize
 
     setup = build_setup(dev, m, width=width, height=height, config=config)
-    if dev["textures"].shape[0] * 512 * 512 * 4 > ATLAS_VMEM_BUDGET:
-        return rasterize(
-            setup, dev["textures"], width=width, height=height,
-            background=config.background_packed, sampling=config.sampling,
-        )
     return rasterize_pallas(
         setup, dev["textures"], width=width, height=height,
         background=config.background_packed, tile_h=tile_h, tile_w=tile_w,

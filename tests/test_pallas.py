@@ -227,16 +227,39 @@ def test_pallas_many_textures_in_kernel():
     assert pixel_mismatch_fraction(gp, px, tol=1) < 0.003
 
 
-def test_pallas_many_textures_falls_back(monkeypatch):
+def test_pallas_many_textures_pages(monkeypatch):
     # Scenes whose textures exceed the kernel's VMEM atlas budget render via
-    # the XLA fallback path transparently.
+    # the texture-paged pallas multipass: one pass per atlas page, merged by
+    # (depth, global slot id). 14 textures at a 6-texture page size = 3 pages.
     import swift3drenderer_tpu.ops.raster_pallas as rp
-    monkeypatch.setattr(rp, "ATLAS_VMEM_BUDGET", 12 * 1024 * 1024)
+    monkeypatch.setattr(rp, "MAX_ATLAS_TEXTURES", 6)
     scene = _replicate_textures(icosahedron_scene(seed=0), 14)
     m = identity_camera()
     gp, _ = golden_render(scene, m, 128, 96)
     px, _ = Renderer(scene, backend="pallas").render(m, 128, 96)
     assert pixel_mismatch_fraction(gp, px, tol=1) < 0.003
+
+
+def test_pallas_texture_pages_with_slot_chunks(monkeypatch):
+    # Texture paging composes with the slot-chunk multipass: pages x chunks
+    # passes, still pixel-exact vs golden (the (depth, min gid) merge is
+    # split-invariant). Also covers the batch path (B=2 camera batch).
+    import swift3drenderer_tpu.ops.raster_pallas as rp
+    monkeypatch.setattr(rp, "MAX_ATLAS_TEXTURES", 6)
+    monkeypatch.setattr(rp, "MAX_SLOTS_PER_PASS_B1", 16)
+    monkeypatch.setattr(rp, "MAX_SLOTS_PER_PASS", 16)
+    scene = _replicate_textures(icosahedron_scene(seed=0), 14)
+    m = identity_camera()
+    # 160x96 (not the page test's 128x96): same shapes would hit the page
+    # test's jit cache, compiled before the slot caps were patched down.
+    gp, _ = golden_render(scene, m, 160, 96)
+    r = Renderer(scene, backend="pallas")
+    px, _ = r.render(m, 160, 96)
+    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.003
+    ms = np.stack([m, m])
+    bpx, _ = r.render_batch(ms, 160, 96)
+    np.testing.assert_array_equal(np.asarray(bpx[0]), np.asarray(px))
+    np.testing.assert_array_equal(np.asarray(bpx[1]), np.asarray(px))
 
 
 def test_pallas_multi_pass_untextured_scene():
