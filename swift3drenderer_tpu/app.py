@@ -395,6 +395,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                    metavar="DEV",
                    help="read a Linux joystick device (default /dev/input/js0)"
                         " as the movement/look input")
+    p.add_argument("--textures", default="photo",
+                   choices=("photo", "procedural"),
+                   help="texture source for built-in scenes: 'photo' (default)"
+                        " builds ripmap atlases from real photographs for "
+                        "visual parity with the reference's painting artwork "
+                        "(falls back to procedural when no bundled photos "
+                        "exist); 'procedural' is the seeded test default")
     args = p.parse_args(argv)
 
     if os.path.exists(args.scene):
@@ -404,7 +411,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             scene = load_scene(args.scene)
     else:
-        scene = SCENES[args.scene](seed=args.seed)
+        import inspect
+        factory = SCENES[args.scene]
+        textures = None
+        if (args.textures == "photo"
+                and "textures" in inspect.signature(factory).parameters):
+            try:
+                from .models.textures import photo_texture_words
+                textures = photo_texture_words(2)
+            except (RuntimeError, ImportError):
+                pass  # no bundled photos: keep the procedural atlases
+        scene = (factory(seed=args.seed, textures=textures)
+                 if textures is not None else factory(seed=args.seed))
     if args.serve:
         from .viewer import run_serve
 

@@ -42,6 +42,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                    metavar="ATLAS_PPM",
                    help="use these 512x512 atlas PPMs as the scene textures "
                         "(in index order) instead of the procedural defaults")
+    p.add_argument("--textures", default="procedural",
+                   choices=("procedural", "photo"),
+                   help="'photo' builds the atlases from real photographs "
+                        "bundled with installed packages (visual parity with "
+                        "the reference's painting artwork); default keeps the "
+                        "seeded procedural textures")
     args = p.parse_args(argv)
 
     if args.atlas:
@@ -67,6 +73,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 raise SystemExit(f"{path}: atlas PPM must be 512x512")
             words.append(pack_rgb_words(img))
         textures = np.stack(words).astype(np.uint32)
+    elif args.textures == "photo":
+        # Real-imagery default (the reference ships painting scans,
+        # README.md:21): ripmap atlases built from bundled sample photos.
+        from .models.textures import photo_texture_words
+        textures = photo_texture_words(2)
 
     seed = None if str(args.seed).lower() == "none" else int(args.seed)
     scene = SCENES[args.scene](seed=seed, textures=textures) \

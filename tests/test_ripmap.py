@@ -98,3 +98,18 @@ def test_sampler_negative_uv_wraps_like_reference():
 def test_pack_unpack_words():
     img = np.random.default_rng(0).integers(0, 256, (8, 8, 3)).astype(np.uint8)
     assert np.array_equal(unpack_rgb_words(pack_rgb_words(img)), img)
+
+
+def test_photo_texture_words():
+    # Real-imagery atlases (VERDICT #9): built from sample photographs bundled
+    # with installed packages (sklearn/matplotlib) via build_ripmap_atlas —
+    # the non-copied analog of the reference's painting scans (README.md:21).
+    from swift3drenderer_tpu.models.textures import photo_texture_words
+    tw = photo_texture_words(2)
+    assert tw.shape == (2, 512, 512) and tw.dtype == np.uint32
+    # A photograph's base level has rich content (not a flat fill).
+    assert len(np.unique(tw[0, :256, :256])) > 1000
+    # The two atlases come from different photographs.
+    assert not np.array_equal(tw[0], tw[1])
+    # Deterministic across calls (no RNG involved).
+    np.testing.assert_array_equal(tw, photo_texture_words(2))

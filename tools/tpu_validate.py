@@ -134,6 +134,91 @@ def main() -> int:
           f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
           flush=True)
 
+    # Bucketed live-resize compile on hardware: an odd window size rendered
+    # through the geometric compile buckets (raster extent at the bucket size,
+    # true dims clamp coverage) must match the exact-size compile per the
+    # drift bound (FMA contraction can flip isolated edge pixels between the
+    # two programs — same class as pallas-vs-xla, docs/STATUS.md).
+    from swift3drenderer_tpu.renderer import Renderer
+
+    scene = SCENES["default"](seed=0)
+    r = Renderer(scene, backend="pallas")
+    cam_m = np.asarray(Camera().update(Input(), force_update=True))
+    bpx, _ = r.render(cam_m, 300, 212, bucketed=True)
+    epx, _ = r.render(cam_m, 300, 212)
+    frac = mismatch(np.asarray(bpx), np.asarray(epx))
+    ok = frac < 0.005
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'bucketed-resize':22s} "
+          f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+          flush=True)
+
+    # Serving batch on hardware: B=4 camera batch in ONE kernel dispatch must
+    # reproduce each single-frame render bit-exactly (same kernel program,
+    # batch rides the grid).
+    cams = []
+    cam = Camera()
+    cams.append(cam.update(Input(), force_update=True).copy())
+    for i in range(3):
+        cams.append(cam.update(Input(up=1.0, mouse=(30.0 * i, 5.0))).copy())
+    ms = np.stack(cams)
+    bpx, _ = r.render_batch(ms, 320, 240)
+    worst = 0.0
+    for i in range(4):
+        spx, _ = r.render(ms[i], 320, 240)
+        worst = max(worst, mismatch(np.asarray(bpx[i]), np.asarray(spx)))
+    ok = worst == 0.0
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'batch-B4-vs-single':22s} "
+          f"({scene.num_triangles:5d} tris)  mismatch {worst * 100:.3f}%",
+          flush=True)
+
+    # shard_map path on hardware: a single-device (frame=1, fb=1) mesh runs
+    # the real sharded program (shard_map + butterfly/composite code paths
+    # trivially degenerate) on the chip — the 8-device virtual-mesh tests are
+    # CPU-only, so this is the one hardware run of the collective program.
+    from swift3drenderer_tpu.parallel.sharding import (make_mesh,
+                                                       render_scene_sharded)
+
+    mesh = make_mesh(n_frame=1, n_fb=1)
+    spx, _ = render_scene_sharded(
+        scene_to_device(scene), jnp.asarray(cam_m, jnp.float32), width=320, height=240,
+        mesh=mesh, backend="pallas",
+        interpret=(jax.default_backend() == "cpu"))
+    gp, _ = golden_render(scene, cam_m, 320, 240)
+    frac = mismatch(gp, np.asarray(spx))
+    ok = frac < 0.005
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'shard_map-1dev':22s} "
+          f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+          flush=True)
+
+    # Texture-paged multipass on hardware: 128 textures (> the 96-texture
+    # VMEM page) render via per-page passes merged by (depth, global id).
+    import swift3drenderer_tpu.models.scene as scene_mod
+    from swift3drenderer_tpu.models.textures import default_texture_words
+
+    big_tex = np.concatenate([default_texture_words(2)] * 64)
+    paged = scene_mod.stress_scene(seed=0, objects=24, textures=big_tex)
+    tex = paged.attr_tex.copy()
+    tri_tex = paged.attribute_indices.reshape(-1, 3)
+    for t, corners in enumerate(tri_tex):
+        for a in corners:
+            if tex[a] >= 0:
+                tex[a] = t % 128
+    paged.attr_tex = tex
+    paged.validate()
+    px, _ = render_frame_pallas(
+        scene_to_device(paged), jnp.asarray(cam_m, jnp.float32), width=320, height=240,
+        interpret=(jax.default_backend() == "cpu"))
+    gp, _ = golden_render(paged, cam_m, 320, 240)
+    frac = mismatch(gp, np.asarray(px))
+    ok = frac < 0.005
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'texture-paged-128':22s} "
+          f"({paged.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+          flush=True)
+
     # Optional randomized hardware fuzz: random scene family / seed / pose /
     # odd resolution, pallas-on-chip vs golden (the CPU suite fuzzes interpret
     # mode only). Run: python tools/tpu_validate.py --fuzz 12
