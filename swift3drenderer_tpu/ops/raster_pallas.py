@@ -940,18 +940,25 @@ def _rasterize_multipass(setup, textures, spatial=False, **kw):
         # Sequential ascending slot ranges: a later pass only wins a pixel on
         # strictly greater 1/z, which preserves the reference's
         # earlier-triangle depth-tie order across the split (render.swift:324)
-        # with no extra outputs.
+        # with no extra outputs. Trailing passes guard behind lax.cond on
+        # chunk liveness: the clip-headroom dead half of the slot table sits
+        # contiguously at the tail, so frames with few near-plane splits skip
+        # those passes' binning sort AND kernel grid at runtime (the cond
+        # costs one any-reduce; the branch only executes when taken).
         pix = ooz = None
         for c0 in range(0, s, cap):
             sub = {key: v[:, c0: c0 + cap]
                    for key, v in setup.items()}
-            p, o = _rasterize_chunk(sub, textures, **kw)
             if pix is None:
-                pix, ooz = p, o
+                pix, ooz = _rasterize_chunk(sub, textures, **kw)
             else:
-                upd = o > ooz
-                pix = jnp.where(upd, p, pix)
-                ooz = jnp.where(upd, o, ooz)
+                def run(pix, ooz, sub=sub):
+                    p, o = _rasterize_chunk(sub, textures, **kw)
+                    upd = o > ooz
+                    return jnp.where(upd, p, pix), jnp.where(upd, o, ooz)
+                pix, ooz = jax.lax.cond(
+                    sub["live"].any(), run, lambda pix, ooz: (pix, ooz),
+                    pix, ooz)
         return pix, ooz
 
     # Spatial slot partitioning: order slots by their bbox's top row (dead
