@@ -122,13 +122,12 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
     live = setup["live"] & in_band
     touch = (touch_y[:, :, None] & touch_x[:, None, :]) & live[:, None, None]
     touch = touch.reshape(touch.shape[0], nty * ntx).T          # (ntiles, S)
+    s = touch.shape[1]
     # Stable partition (touching slots first, ascending) via a SINGLE-key
     # sort: untouched slots get their index + S, so they land after every
     # touched slot, both groups ascending — identical to the previous stable
     # argsort of ~touch, but sorting one unique i32 key instead of a
-    # (key, index) comparator tuple halves the XLA sort cost, which DOMINATES
-    # large scenes (10k tris: the front-end was 7 of 11.7 ms per frame).
-    s = touch.shape[1]
+    # (key, index) comparator tuple halves the XLA sort cost.
     slot = jnp.arange(s, dtype=jnp.int32)[None, :]
     keys = jnp.where(touch, slot, slot + s)
     ids = jnp.sort(keys, axis=1) % s
@@ -136,9 +135,97 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
     return ids, counts
 
 
+# Bbox cells enumerated per slot by the segmented binner before a slot is
+# routed to the shared broadband list instead (covers up to a 2x4-tile bbox;
+# at 64x128-px tiles that is ~256x512 px — anything larger is "big" and walks
+# every tile's loop exactly like the flat binner would have made it walk most
+# of them anyway).
+_SEG_K = 8
+
+
+def bin_segments(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
+                 tile_h: int, tile_w: int, y_offset: jnp.ndarray | int = 0):
+    """Segmented binning — the large-scene front-end.
+
+    The flat binner sorts an S-wide key row PER TILE: O(ntiles * S log S)
+    XLA sort work, the dominant frame cost at 10k triangles (2.4 of 7.3 ms
+    @1080p). This binner instead expands each live slot whose bbox covers
+    <= _SEG_K tiles into one (tile, slot) entry per covered cell and sorts
+    ALL entries in ONE K*S-wide single-key sort — O(K*S log KS), ~50x less
+    sort work at 10k triangles — yielding per-tile SEGMENTS (ascending slot
+    within each). Slots covering more tiles (the floor quads) go to one
+    shared ascending "broadband" list every tile walks; the kernel merges
+    both lists with an order-independent depth-tie rule equivalent to the
+    reference's earlier-triangle-wins (see _raster_kernel ``segmented``).
+
+    Returns (ids_flat (rows, 128) i32 sorted entries' slots, tile-major;
+    counts (ntiles,) i32; starts (ntiles,) i32 entry offsets; bb (bb_rows,
+    128) i32 broadband slots ascending; bb_cnt () i32). Rows are padded so
+    the kernel's fixed-size DMA window never reads out of bounds; pad
+    entries decode to slot 0 and are count-guarded.
+    """
+    ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
+    y0 = jnp.asarray(y_offset, jnp.int32)
+    ymin_rel = setup["ymin"] - y0
+    ymax_rel = setup["ymax"] - y0
+    txmin = jnp.clip(setup["xmin"] // tile_w, 0, ntx - 1)
+    txmax = jnp.clip(setup["xmax"] // tile_w, 0, ntx - 1)
+    tymin = jnp.clip(ymin_rel // tile_h, 0, nty - 1)
+    tymax = jnp.clip(ymax_rel // tile_h, 0, nty - 1)
+    live = setup["live"] & (ymax_rel >= 0) & (ymin_rel < height)
+    s = live.shape[0]
+    wx = txmax - txmin + 1
+    wy = tymax - tymin + 1
+    area = wx * wy
+    small = live & (area <= _SEG_K)
+    big = live & (area > _SEG_K)
+
+    # One sorted (tile, slot) entry per covered bbox cell of each small slot.
+    # spow (pow2 >= s) makes the slot decode a cheap mask; the BIG key parks
+    # invalid entries past every real tile and decodes to slot 0.
+    spow = 1 << max(s - 1, 1).bit_length()
+    big_key = jnp.int32(nty * ntx * spow)
+    slot = jnp.arange(s, dtype=jnp.int32)
+    wxf = wx.astype(jnp.float32)
+    keys = []
+    for e in range(_SEG_K):
+        # e // wx via f32 (exact for these tiny ints; no vector int div).
+        dy = jnp.floor(jnp.float32(e) / wxf).astype(jnp.int32)
+        dx = e - dy * wx
+        tile_e = (tymin + dy) * ntx + (txmin + dx)
+        valid = small & (e < area)
+        keys.append(jnp.where(valid, tile_e * spow + slot, big_key))
+    sorted_keys = jnp.sort(jnp.concatenate(keys))               # (K*S,)
+    ids_flat = sorted_keys & (spow - 1)
+    seg_rows = max(8, _cdiv(_cdiv(s + 130, 128), 8) * 8)        # DMA window
+    rows = _cdiv(ids_flat.shape[0], 128) + seg_rows
+    rows = _cdiv(rows, 8) * 8
+    ids_flat = jnp.pad(ids_flat, (0, rows * 128 - ids_flat.shape[0]),
+                       constant_values=0).reshape(rows, 128)
+
+    # Per-tile entry counts via an MXU one-hot contraction (exact in f32),
+    # row-major cumsum for segment starts.
+    ty = jnp.arange(nty, dtype=jnp.int32)
+    tx = jnp.arange(ntx, dtype=jnp.int32)
+    touch_y = ((ty[None, :] >= tymin[:, None]) & (ty[None, :] <= tymax[:, None])
+               & small[:, None]).astype(jnp.float32)            # (S, nty)
+    touch_x = ((tx[None, :] >= txmin[:, None])
+               & (tx[None, :] <= txmax[:, None])).astype(jnp.float32)
+    counts = (touch_y.T @ touch_x).reshape(-1).astype(jnp.int32)  # (ntiles,)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+
+    # Broadband: big slots ascending via the same single-key partition.
+    bb_sorted = jnp.sort(jnp.where(big, slot, slot + s)) % s
+    bb_rows = max(8, _cdiv(_cdiv(s + 3, 128), 8) * 8)
+    bb = jnp.pad(bb_sorted, (0, bb_rows * 128 - s)).reshape(bb_rows, 128)
+    return ids_flat, counts, starts, bb, big.sum(dtype=jnp.int32)
+
+
 def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                    bilinear: bool = False, phases: str = "full",
-                   track_ids: bool = False, ids_resident: bool = False):
+                   track_ids: bool = False, ids_resident: bool = False,
+                   segmented: bool = False, seg_rows: int = 0):
     """Kernel factory: visibility + in-kernel shading and texture fetch per tile.
 
     ``phases`` is a timing instrument (tools/perf_probe.py): "vis" stops after
@@ -150,12 +237,27 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
     (B*ntiles, 128) table — only possible when every tile's list fits one
     128-lane row and the whole table fits the SMEM budget (small scenes, incl.
     the reference's 51-triangle default): saves the per-grid-step DMA.
+
+    ``segmented`` consumes bin_segments output (the large-scene front-end):
+    each tile walks (a) the shared SMEM-resident broadband list and (b) its
+    own segment of the flat sorted entry array, DMA'd as a fixed ``seg_rows``
+    x 128 window at the segment's dynamic (unaligned) row offset. The two
+    lists interleave arbitrarily in slot order, so the depth test uses the
+    ORDER-INDEPENDENT form of the reference's rule: strictly greater 1/z
+    wins, equal 1/z resolves to the smaller slot id (exactly sequential
+    strict-> over ascending ids, reassociated; bit-identical winners).
+    counts_ref rows: 0 = segment count, 1 = segment start, 2 = broadband
+    count (same value in every lane).
     """
     assert tile_w == 128 and tile_h in (8, 16, 32, 64, 128), \
         "in-kernel texel fetch assumes 128-lane tiles with pow2 sublane height"
 
-    def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_in, atlas_ref,
-               *out_and_scratch):
+    def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_in, *rest):
+        if segmented:
+            bb_ref, atlas_ref, *out_and_scratch = rest
+        else:
+            bb_ref = None
+            atlas_ref, *out_and_scratch = rest
         if ids_resident:
             if track_ids:
                 pix_ref, ooz_ref, gid_ref = out_and_scratch
@@ -184,6 +286,20 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 
             def slot_id(i):
                 return ids_in[tile_row, i]
+        elif segmented:
+            # This tile's segment of the flat sorted entry array: a fixed
+            # seg_rows x 128 SMEM window DMA'd at the segment's dynamic row
+            # offset (unaligned row starts are fine — probed on-chip); the
+            # in-row offset is consumed by the loops below. The copy overlaps
+            # the pixel-coordinate setup.
+            n = counts_ref[0, tile]
+            seg_start = counts_ref[1, tile]
+            bb_n = counts_ref[2, tile]
+            dma = pltpu.make_async_copy(
+                ids_in.at[b, pl.ds(seg_start >> 7, seg_rows)],
+                ids_ref, ids_sem)
+            dma.start()
+            off = seg_start & 127
         else:
             # This tile's triangle id list: HBM -> SMEM scratch (the full
             # (ntiles, S) table is far too large for SMEM residency; one row is
@@ -203,9 +319,12 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         pyf = pyi.astype(jnp.float32)
         pxf = pxi.astype(jnp.float32)
 
-        n = counts_ref[0, tile]  # this tile's binned triangle count
-        if not ids_resident:
-            dma.wait()
+        if not segmented:
+            n = counts_ref[0, tile]  # this tile's binned triangle count
+            if not ids_resident:
+                dma.wait()
+        # (segmented: the window DMA overlaps the broadband walk; the wait
+        # sits between the two visibility loops.)
 
         def weights(s):
             w0 = trf_ref[_W00 + 0, s] + pxf * trf_ref[_DX + 0, s] + pyf * trf_ref[_DY + 0, s]
@@ -214,9 +333,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             return w0, w1, w2
 
         # ---- phase 1: visibility ----
-        def vis_body(i, carry):
+        def vis_body(s, ok, carry):
             best, win = carry[0], carry[1]
-            s = slot_id(i)
             w0, w1, w2 = weights(s)
             cover = (
                 (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
@@ -225,30 +343,64 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             )
             ooz = (w0 * trf_ref[_RVZ + 0, s] + w1 * trf_ref[_RVZ + 1, s]
                    + w2 * trf_ref[_RVZ + 2, s])
-            # i < n guards the 2-wide unroll's odd tail: position n holds a
+            # ``ok`` guards the 4-wide unroll's tail: tail positions hold a
             # real slot index that does NOT touch this tile — usually its
             # bbox test fails, but a culled (dead) slot's table row could
             # spuriously pass.
-            ooz = jnp.where(cover & (i < n), ooz, 0.0)
+            ooz = jnp.where(cover & ok, ooz, 0.0)
             upd = ooz > best  # strict: earlier slot wins depth ties
+            if segmented:
+                # Broadband and segment lists interleave arbitrarily in slot
+                # order, so ties resolve explicitly to the smaller id — the
+                # order-independent statement of the reference's
+                # earlier-triangle-wins rule (identical winners; ~3 extra
+                # vector ops). Ids compare as the tie-break key: local slot
+                # ids in sequential multipass (ascending == global order),
+                # global _GID in spatial multipass.
+                tid = tri_ref[_GID, s] if track_ids else s
+                wid = carry[2] if track_ids else win
+                upd = upd | ((ooz == best) & (ooz > 0.0) & (tid < wid))
             out = (jnp.where(upd, ooz, best), jnp.where(upd, s, win))
             if track_ids:
                 out += (jnp.where(upd, tri_ref[_GID, s], carry[2]),)
             return out
 
-        def vis_body4(i, carry):
-            # 4-wide unroll: quarters the loop bookkeeping; tail positions
-            # read padded non-touching ids whose coverage is force-masked by
-            # the i < n guard in vis_body.
-            for k in range(4):
-                carry = vis_body(4 * i + k, carry)
-            return carry
-
         neg1 = jnp.full((tile_h, tile_w), -1, jnp.int32)
         carry0 = (jnp.zeros((tile_h, tile_w), jnp.float32), neg1)
         if track_ids:
             carry0 += (neg1,)
-        vis_out = jax.lax.fori_loop(0, (n + 3) >> 2, vis_body4, carry0)
+
+        if segmented:
+            # Walk the shared broadband list, then this tile's segment; the
+            # tie rule above makes the interleaving order irrelevant.
+            def vis_bb4(i, carry):
+                for k in range(4):
+                    ii = 4 * i + k
+                    carry = vis_body(bb_ref[ii >> 7, ii & 127], ii < bb_n,
+                                     carry)
+                return carry
+
+            def vis_seg4(i, carry):
+                for k in range(4):
+                    ii = 4 * i + k
+                    p = off + ii
+                    carry = vis_body(ids_ref[p >> 7, p & 127], ii < n, carry)
+                return carry
+
+            carry_bb = jax.lax.fori_loop(0, (bb_n + 3) >> 2, vis_bb4, carry0)
+            dma.wait()
+            vis_out = jax.lax.fori_loop(0, (n + 3) >> 2, vis_seg4, carry_bb)
+        else:
+            def vis_flat4(i, carry):
+                # 4-wide unroll: quarters the loop bookkeeping; tail positions
+                # read padded non-touching ids whose coverage is force-masked
+                # by the i < n guard in vis_body.
+                for k in range(4):
+                    ii = 4 * i + k
+                    carry = vis_body(slot_id(ii), ii < n, carry)
+                return carry
+
+            vis_out = jax.lax.fori_loop(0, (n + 3) >> 2, vis_flat4, carry0)
         best, win = vis_out[0], vis_out[1]
         if track_ids:
             gid_ref[0] = vis_out[2]
@@ -266,8 +418,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         # perspective divide happens once per tile, not per binned slot.
         inv = 1.0 / best  # best > 0 wherever any mask holds
 
-        def shade_body(i, carry):
-            s = slot_id(i)
+        def shade_body(s, carry):
             mask = win == s
             # Skip slots that won nothing in this tile (an any-reduce + branch
             # vs ~60 vector ops of interpolation/lighting): with overdraw or
@@ -375,10 +526,19 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         zf = jnp.zeros((tile_h, tile_w), jnp.float32)
         zi = jnp.zeros((tile_h, tile_w), jnp.int32)
         planes0 = (zi, zi) if not bilinear else (zi, zi, zi, zi, zf, zf)
-        pix, shade, planes, tm = jax.lax.fori_loop(
-            0, n, shade_body,
-            (jnp.full((tile_h, tile_w), jnp.int32(background)), zf,
-             planes0, jnp.zeros((tile_h, tile_w), jnp.int32)))
+        shade0 = (jnp.full((tile_h, tile_w), jnp.int32(background)), zf,
+                  planes0, jnp.zeros((tile_h, tile_w), jnp.int32))
+        if segmented:
+            carry = jax.lax.fori_loop(
+                0, bb_n,
+                lambda i, c: shade_body(bb_ref[i >> 7, i & 127], c), shade0)
+            pix, shade, planes, tm = jax.lax.fori_loop(
+                0, n,
+                lambda i, c: shade_body(
+                    ids_ref[(off + i) >> 7, (off + i) & 127], c), carry)
+        else:
+            pix, shade, planes, tm = jax.lax.fori_loop(
+                0, n, lambda i, c: shade_body(slot_id(i), c), shade0)
 
         # The color-path / background merge lands first; the texel fetch below
         # overwrites the textured winners' pixels when there are any.
@@ -761,28 +921,33 @@ def _rasterize_chunk(
     """
     bsz, s = setup["live"].shape
     ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
-    ids, counts = jax.vmap(partial(
-        bin_triangles, width=width, height=height,
-        tile_h=tile_h, tile_w=tile_w, y_offset=y_offset))(setup)
-    # +3 margin: the 4-wide visibility unroll may read up to position n+2
-    # (guarded inactive), which must stay inside the padded table even when
-    # every slot touches one tile (n == s == s_pad otherwise possible).
     # Small scenes (every tile's id list fits one 128-lane row AND the whole
-    # (B*ntiles, 128) table fits a fraction of SMEM) keep the table fully
-    # SMEM-resident — no per-grid-step DMA. Larger scenes shape it
-    # (B*ntiles, k, 128) in HBM and DMA one tile's rows per step: single-row
-    # slices of a lane-tiled 2D memref are rejected by Mosaic, and k must be
-    # sublane-aligned (multiple of 8) or the copy faults.
+    # (B*ntiles, 128) table fits a fraction of SMEM) bin flat and keep the
+    # table fully SMEM-resident — no per-grid-step DMA. Larger scenes use the
+    # SEGMENTED front-end (bin_segments): one flat K*S-entry sort instead of
+    # ntiles S-wide sorts, per-tile windows DMA'd at dynamic row offsets.
     ids_resident = (s + 3 <= 128) and (bsz * nty * ntx <= 512)
     if ids_resident:
+        ids, counts = jax.vmap(partial(
+            bin_triangles, width=width, height=height,
+            tile_h=tile_h, tile_w=tile_w, y_offset=y_offset))(setup)
+        # +3 margin headroom: the 4-wide visibility unroll may read up to
+        # position n+2 (guarded inactive), which must stay inside the padded
+        # 128-lane row even when every slot touches one tile.
         rows = bsz * nty * ntx
         rpad = _cdiv(rows, 8) * 8
         ids = jnp.pad(ids, ((0, 0), (0, 0), (0, 128 - s))).reshape(-1, 128)
         ids = jnp.pad(ids, ((0, rpad - rows), (0, 0)))
+        seg_rows = 0
     else:
-        k = max(8, _cdiv(_cdiv(s + 3, 128), 8) * 8)
-        s_pad = k * 128
-        ids = jnp.pad(ids, ((0, 0), (0, 0), (0, s_pad - s))).reshape(-1, k, 128)
+        ids, counts, starts, bb, bb_cnt = jax.vmap(partial(
+            bin_segments, width=width, height=height,
+            tile_h=tile_h, tile_w=tile_w, y_offset=y_offset))(setup)
+        # Static DMA window covering in-row offset + worst-case segment
+        # length + the 4-wide unroll tail (must match bin_segments' pad).
+        seg_rows = max(8, _cdiv(_cdiv(s + 130, 128), 8) * 8)
+        bb_rows = bb.shape[1]
+        bb = bb.reshape(bsz * bb_rows, 128)
     track_ids = gids is not None
     y0 = jnp.asarray(y_offset, jnp.int32).reshape(1, 1)
     trf, tri = jax.vmap(lambda st: pack_setup_tables(st, gids))(setup)  # (B, R, S)
@@ -796,8 +961,17 @@ def _rasterize_chunk(
     tri = jnp.pad(tri, ((0, 0), (0, i32_rows - _I32_ROWS), (0, 0)))
     trf = trf.reshape(bsz * f32_rows, s)
     tri = tri.reshape(bsz * i32_rows, s)
-    counts = jnp.pad(counts.reshape(bsz, 1, nty * ntx),
-                     ((0, 0), (0, 7), (0, 0))).reshape(bsz * 8, nty * ntx)
+    if ids_resident:
+        counts = jnp.pad(counts.reshape(bsz, 1, nty * ntx),
+                         ((0, 0), (0, 7), (0, 0))).reshape(bsz * 8, nty * ntx)
+    else:
+        # Segmented count table rows: 0 = segment count, 1 = segment start,
+        # 2 = broadband count (broadcast across lanes); padded to 8 rows.
+        ctab = jnp.stack([
+            counts, starts,
+            jnp.broadcast_to(bb_cnt[:, None], counts.shape)], axis=1)
+        counts = jnp.pad(ctab, ((0, 0), (0, 5), (0, 0))
+                         ).reshape(bsz * 8, nty * ntx)
 
     # Atlas rows (NT*512, 512) int32 in VMEM for the in-kernel fetch; a dummy
     # row block keeps shapes valid for untextured scenes (never fetched).
@@ -827,25 +1001,31 @@ def _rasterize_chunk(
         ids_spec = pl.BlockSpec((ids.shape[0], 128), lambda b, ty, tx: (0, 0),
                                 memory_space=pltpu.SMEM)
         scratch = []
+        seg_specs, seg_args = [], []
     else:
-        # The (B*ntiles, k, 128) id table stays in HBM; the kernel DMAs one
-        # tile's rows into SMEM scratch per grid step.
+        # The (B, rows, 128) sorted entry array stays in HBM; the kernel DMAs
+        # a seg_rows window at each tile's dynamic row offset into SMEM
+        # scratch. The broadband list rides SMEM per frame.
         ids_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-        scratch = [pltpu.SMEM((k, 128), jnp.int32),  # this tile's id list
+        scratch = [pltpu.SMEM((seg_rows, 128), jnp.int32),
                    pltpu.SemaphoreType.DMA]
+        seg_specs = [smem_b(bb_rows, 128)]  # frame b's broadband slots
+        seg_args = [bb]
 
     outs = pl.pallas_call(
         _raster_kernel(tile_h, tile_w, background, atlas_rows,
                        bilinear=(sampling == "bilinear"), phases=phases,
-                       track_ids=track_ids, ids_resident=ids_resident),
+                       track_ids=track_ids, ids_resident=ids_resident,
+                       segmented=not ids_resident, seg_rows=seg_rows),
         grid=(bsz, nty, ntx),
         in_specs=[
-            smem_b(8, nty * ntx),           # frame b's per-tile counts
+            smem_b(8, nty * ntx),           # frame b's count/start/bb rows
             smem_b(f32_rows, s),            # frame b's f32 constants
             smem_b(i32_rows, s),            # frame b's i32 constants
             pl.BlockSpec((1, 1), lambda b, ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),  # y_offset (shared)
             ids_spec,
+            *seg_specs,
             # Whole texture atlas VMEM-resident (1 MB per texture).
             pl.BlockSpec((atlas_rows, 512), lambda b, ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -855,7 +1035,7 @@ def _rasterize_chunk(
                    + ([out_shape(jnp.int32)] if track_ids else [])),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(counts, trf, tri, y0, ids, atlas)
+    )(counts, trf, tri, y0, ids, *seg_args, atlas)
     return tuple(o[:, :height, :width].astype(dt) for o, dt in zip(
         outs, (jnp.uint32, jnp.float32, jnp.int32)))
 

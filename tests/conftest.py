@@ -36,6 +36,7 @@ _QUICK_TESTS = {
     "test_tetrahedron_fixed_camera",            # device-vs-golden render
     "test_depth_is_one_over_z",
     "test_binning_partition_matches_stable_argsort",
+    "test_bin_segments_partition_matches_touch_sets",
 }
 # Slow outliers inside quick modules.
 _SLOW_TESTS = {

@@ -14,7 +14,11 @@ from swift3drenderer_tpu.models import (
     icosahedron_scene,
     tetrahedron_scene,
 )
-from swift3drenderer_tpu.ops.raster_pallas import bin_triangles
+from swift3drenderer_tpu.ops.raster_pallas import (
+    _SEG_K,
+    bin_segments,
+    bin_triangles,
+)
 from swift3drenderer_tpu.renderer import Renderer, build_setup, scene_to_device
 
 from conftest import pixel_mismatch_fraction
@@ -81,6 +85,49 @@ def test_binning_covers_live_triangles():
     for t in range(ids.shape[0]):
         lst = ids[t, : counts[t]]
         assert np.all(np.diff(lst) > 0) or counts[t] <= 1
+
+
+def test_bin_segments_partition_matches_touch_sets():
+    # The segmented binner's (per-tile segment) ∪ (shared broadband list,
+    # restricted to touching slots) must equal each tile's exact touching
+    # set, with segments ascending and broadband = exactly the slots whose
+    # bbox covers > _SEG_K tiles. Random synthetic setups, exact check.
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        s = 160
+        w, h, tile_h = 512, 128, 16      # 4 x 8 tile grid
+        ntx, nty = 4, 8
+        xmin = rng.integers(-64, w, s); xmax = xmin + rng.integers(0, 300, s)
+        ymin = rng.integers(-32, h, s); ymax = ymin + rng.integers(0, 90, s)
+        live = rng.random(s) < 0.8
+        setup = {k: jnp.asarray(v.astype(np.int32)) for k, v in
+                 dict(xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax).items()}
+        setup["live"] = jnp.asarray(live)
+        ids, counts, starts, bb, bb_cnt = bin_segments(
+            setup, width=w, height=h, tile_h=tile_h, tile_w=128)
+        flat = np.asarray(ids).reshape(-1)
+        counts, starts = np.asarray(counts), np.asarray(starts)
+        bb_list = np.asarray(bb).reshape(-1)[: int(bb_cnt)]
+
+        txmin = np.clip(xmin // 128, 0, ntx - 1)
+        txmax = np.clip(xmax // 128, 0, ntx - 1)
+        tymin = np.clip(ymin // tile_h, 0, nty - 1)
+        tymax = np.clip(ymax // tile_h, 0, nty - 1)
+        vis = live & (ymax >= 0) & (ymin < h)
+        area = (txmax - txmin + 1) * (tymax - tymin + 1)
+        big = set(np.nonzero(vis & (area > _SEG_K))[0])
+        assert set(bb_list) == big
+        assert np.all(np.diff(bb_list) > 0) or len(bb_list) <= 1
+        for t in range(nty * ntx):
+            ty, tx = t // ntx, t % ntx
+            seg = flat[starts[t]: starts[t] + counts[t]]
+            assert np.all(np.diff(seg) > 0) or counts[t] <= 1
+            touching = {s_ for s_ in np.nonzero(vis)[0]
+                        if txmin[s_] <= tx <= txmax[s_]
+                        and tymin[s_] <= ty <= tymax[s_]}
+            assert set(seg) == touching - big, (t, seg, touching)
+            # Broadband members of this tile come from the shared list.
+            assert (touching & big) <= set(bb_list)
 
 
 def test_pallas_matches_golden_tetrahedron():

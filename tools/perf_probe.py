@@ -38,7 +38,7 @@ def probe(scene_name: str, width: int, height: int, frames: int, tile_h: int):
     from swift3drenderer_tpu.config import DEFAULT_CONFIG
     from swift3drenderer_tpu.models import SCENES
     from swift3drenderer_tpu.ops.raster_pallas import (
-        bin_triangles, pack_setup_tables, rasterize_pallas)
+        bin_segments, bin_triangles, pack_setup_tables, rasterize_pallas)
     from swift3drenderer_tpu.renderer import build_setup, scene_to_device
 
     scene = SCENES[scene_name](seed=0)
@@ -60,13 +60,24 @@ def probe(scene_name: str, width: int, height: int, frames: int, tile_h: int):
         return run
 
     def frontend_body(dev, m):
+        # Mirror _rasterize_chunk's binner choice: small scenes bin flat
+        # (SMEM-resident table), larger ones use the segmented front-end.
         setup = build_setup(dev, m, width=width, height=height,
                             config=DEFAULT_CONFIG)
-        ids, counts = bin_triangles(setup, width=width, height=height,
-                                    tile_h=tile_h, tile_w=128)
+        s = setup["live"].shape[0]
+        ntiles = ((width + 127) // 128) * ((height + tile_h - 1) // tile_h)
+        if s + 3 <= 128 and ntiles <= 512:
+            ids, counts = bin_triangles(setup, width=width, height=height,
+                                        tile_h=tile_h, tile_w=128)
+            extra = 0.0
+        else:
+            ids, counts, starts, bb, bb_cnt = bin_segments(
+                setup, width=width, height=height, tile_h=tile_h, tile_w=128)
+            extra = (starts[::5].sum() + bb[::7, ::13].sum()
+                     + bb_cnt).astype(jnp.float32)
         trf, tri = pack_setup_tables(setup)
         return (ids[::7, ::13].sum() + counts.sum() + trf[::5, ::11].sum()
-                + tri[::3, ::17].sum().astype(jnp.float32))
+                + tri[::3, ::17].sum().astype(jnp.float32) + extra)
 
     def phase_body(phases):
         def body(dev, m):
