@@ -349,48 +349,104 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # spuriously pass.
             ooz = jnp.where(cover & ok, ooz, 0.0)
             upd = ooz > best  # strict: earlier slot wins depth ties
-            if segmented:
-                # Broadband and segment lists interleave arbitrarily in slot
-                # order, so ties resolve explicitly to the smaller id — the
-                # order-independent statement of the reference's
-                # earlier-triangle-wins rule (identical winners; ~3 extra
-                # vector ops). Ids compare as the tie-break key: local slot
-                # ids in sequential multipass (ascending == global order),
-                # global _GID in spatial multipass.
-                tid = tri_ref[_GID, s] if track_ids else s
-                wid = carry[2] if track_ids else win
-                upd = upd | ((ooz == best) & (ooz > 0.0) & (tid < wid))
             out = (jnp.where(upd, ooz, best), jnp.where(upd, s, win))
             if track_ids:
                 out += (jnp.where(upd, tri_ref[_GID, s], carry[2]),)
             return out
 
-        neg1 = jnp.full((tile_h, tile_w), -1, jnp.int32)
-        carry0 = (jnp.zeros((tile_h, tile_w), jnp.float32), neg1)
-        if track_ids:
-            carry0 += (neg1,)
-
         if segmented:
+            # STRIP-SCOPED visibility: small triangles cover a handful of
+            # 8-row strips of the tile, so evaluating edges over the full
+            # (tile_h, 128) block per entry wastes ~tile_h/bbox_h of the
+            # vector work. Each entry instead loops only the strips its bbox
+            # overlaps (dynamic fori bounds), loading/storing the running
+            # (best, win[, gid]) planes as 8-row dynamic slices of the
+            # OUTPUT refs: ooz_ref holds best, pix_ref holds win until the
+            # shade phase overwrites it — zero extra VMEM.
+            nstr = tile_h // 8
+            y_top = y0_ref[0, 0] + ty * tile_h
+            pyi8 = pyi[:8]          # strip-0 coordinate planes; strip r adds
+            pyf8 = pyf[:8]          # the scalar 8r (pxi/pxf rows repeat)
+            pxi8 = pxi[:8]
+            pxf8 = pxf[:8]
+            zeros8 = jnp.zeros((8, tile_w), jnp.float32)
+            pix_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            ooz_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
+            if track_ids:
+                gid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+            def vis_entry(s, c):
+                xmn = tri_ref[_XMIN, s]
+                xmx = tri_ref[_XMAX, s]
+                ymn = tri_ref[_YMIN, s]
+                ymx = tri_ref[_YMAX, s]
+                r0 = jnp.clip((ymn - y_top) >> 3, 0, nstr - 1)
+                r1 = jnp.clip((ymx - y_top) >> 3, 0, nstr - 1)
+                cover_x = (pxi8 >= xmn) & (pxi8 <= xmx)
+                # Per-entry invariants hoisted out of the strip loop: the
+                # x-dependent half of each edge function.
+                cx0 = trf_ref[_W00 + 0, s] + pxf8 * trf_ref[_DX + 0, s]
+                cx1 = trf_ref[_W00 + 1, s] + pxf8 * trf_ref[_DX + 1, s]
+                cx2 = trf_ref[_W00 + 2, s] + pxf8 * trf_ref[_DX + 2, s]
+                dy0 = trf_ref[_DY + 0, s]
+                dy1 = trf_ref[_DY + 1, s]
+                dy2 = trf_ref[_DY + 2, s]
+                rv0 = trf_ref[_RVZ + 0, s]
+                rv1 = trf_ref[_RVZ + 1, s]
+                rv2 = trf_ref[_RVZ + 2, s]
+                tid = tri_ref[_GID, s] if track_ids else s
+
+                def strip(r, cc):
+                    o = r * 8
+                    pyi_s = pyi8 + o
+                    pyf_s = pyf8 + o.astype(jnp.float32)
+                    w0 = cx0 + pyf_s * dy0
+                    w1 = cx1 + pyf_s * dy1
+                    w2 = cx2 + pyf_s * dy2
+                    cover = (cover_x & (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                             & (pyi_s >= ymn) & (pyi_s <= ymx))
+                    ooz = jnp.where(cover, w0 * rv0 + w1 * rv1 + w2 * rv2,
+                                    zeros8)
+                    best8 = ooz_ref[0, pl.ds(o, 8), :]
+                    upd = ooz > best8
+                    # Broadband and segment lists interleave arbitrarily in
+                    # slot order, so depth ties resolve explicitly to the
+                    # smaller id — the order-independent statement of the
+                    # reference's earlier-triangle-wins rule (bit-identical
+                    # winners). Ids compare as the tie-break key: local slot
+                    # ids in sequential multipass (ascending == global
+                    # order), global _GID in spatial multipass.
+                    wid8 = (gid_ref if track_ids else pix_ref)[0, pl.ds(o, 8), :]
+                    upd = upd | ((ooz == best8) & (ooz > 0.0) & (tid < wid8))
+                    ooz_ref[0, pl.ds(o, 8), :] = jnp.where(upd, ooz, best8)
+                    win8 = pix_ref[0, pl.ds(o, 8), :] if track_ids else wid8
+                    pix_ref[0, pl.ds(o, 8), :] = jnp.where(upd, s, win8)
+                    if track_ids:
+                        gid_ref[0, pl.ds(o, 8), :] = jnp.where(upd, tid, wid8)
+                    return cc
+
+                return jax.lax.fori_loop(r0, r1 + 1, strip, c)
+
             # Walk the shared broadband list, then this tile's segment; the
             # tie rule above makes the interleaving order irrelevant.
-            def vis_bb4(i, carry):
-                for k in range(4):
-                    ii = 4 * i + k
-                    carry = vis_body(bb_ref[ii >> 7, ii & 127], ii < bb_n,
-                                     carry)
-                return carry
-
-            def vis_seg4(i, carry):
-                for k in range(4):
-                    ii = 4 * i + k
-                    p = off + ii
-                    carry = vis_body(ids_ref[p >> 7, p & 127], ii < n, carry)
-                return carry
-
-            carry_bb = jax.lax.fori_loop(0, (bb_n + 3) >> 2, vis_bb4, carry0)
+            jax.lax.fori_loop(
+                0, bb_n,
+                lambda i, c: vis_entry(bb_ref[i >> 7, i & 127], c), 0)
             dma.wait()
-            vis_out = jax.lax.fori_loop(0, (n + 3) >> 2, vis_seg4, carry_bb)
+            jax.lax.fori_loop(
+                0, n,
+                lambda i, c: vis_entry(
+                    ids_ref[(off + i) >> 7, (off + i) & 127], c), 0)
+            if phases == "vis":  # outputs already hold (win, best)
+                return
+            best = ooz_ref[0]
+            win = pix_ref[0]
         else:
+            neg1 = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            carry0 = (jnp.zeros((tile_h, tile_w), jnp.float32), neg1)
+            if track_ids:
+                carry0 += (neg1,)
+
             def vis_flat4(i, carry):
                 # 4-wide unroll: quarters the loop bookkeeping; tail positions
                 # read padded non-touching ids whose coverage is force-masked
@@ -401,14 +457,14 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 return carry
 
             vis_out = jax.lax.fori_loop(0, (n + 3) >> 2, vis_flat4, carry0)
-        best, win = vis_out[0], vis_out[1]
-        if track_ids:
-            gid_ref[0] = vis_out[2]
+            best, win = vis_out[0], vis_out[1]
+            if track_ids:
+                gid_ref[0] = vis_out[2]
 
-        if phases == "vis":  # timing instrument: stop after visibility
-            pix_ref[0] = win
-            ooz_ref[0] = best
-            return
+            if phases == "vis":  # timing instrument: stop after visibility
+                pix_ref[0] = win
+                ooz_ref[0] = best
+                return
 
         # ---- phase 2: shade each slot's winning pixels ----
         def rsqrt3(x, y, z):
