@@ -249,8 +249,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
     counts_ref rows: 0 = segment count, 1 = segment start, 2 = broadband
     count (same value in every lane).
     """
-    assert tile_w == 128 and tile_h in (8, 16, 32, 64, 128), \
-        "in-kernel texel fetch assumes 128-lane tiles with pow2 sublane height"
+    assert tile_w == 128 and tile_h % 8 == 0 and 8 <= tile_h <= 256, \
+        "in-kernel texel fetch assumes 128-lane tiles of whole 8-row strips"
 
     def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_in, *rest):
         if segmented:
@@ -264,11 +264,19 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             else:
                 pix_ref, ooz_ref = out_and_scratch
                 gid_ref = None
-        elif track_ids:
-            pix_ref, ooz_ref, gid_ref, ids_ref, ids_sem = out_and_scratch
         else:
-            pix_ref, ooz_ref, ids_ref, ids_sem = out_and_scratch
-            gid_ref = None
+            if track_ids:
+                (pix_ref, ooz_ref, gid_ref,
+                 ids_ref, ids_sem, *shade_scratch) = out_and_scratch
+            else:
+                (pix_ref, ooz_ref,
+                 ids_ref, ids_sem, *shade_scratch) = out_and_scratch
+                gid_ref = None
+            if segmented:
+                # Strip-scoped shading scratch: the running merged planes of
+                # phase 2 (win survives pix_ref's reuse as the color plane;
+                # inv caches the once-per-tile perspective divide).
+                (win_ref, shade_ref, inv_ref, *plane_refs) = shade_scratch
         # Grid (B, nty, ntx): the camera-batch axis rides the grid (serving /
         # multi-view path); per-frame tables are delivered per-b by the block
         # index maps, so the body below is written for one frame.
@@ -439,8 +447,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     ids_ref[(off + i) >> 7, (off + i) & 127], c), 0)
             if phases == "vis":  # outputs already hold (win, best)
                 return
-            best = ooz_ref[0]
-            win = pix_ref[0]
+            # (phase 2 below reads win/best directly from the refs.)
         else:
             neg1 = jnp.full((tile_h, tile_w), -1, jnp.int32)
             carry0 = (jnp.zeros((tile_h, tile_w), jnp.float32), neg1)
@@ -470,34 +477,53 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
         def rsqrt3(x, y, z):
             return jax.lax.rsqrt(x * x + y * y + z * z)
 
-        # Loop-invariant: the winner depth is fixed after visibility, so the
-        # perspective divide happens once per tile, not per binned slot.
-        inv = 1.0 / best  # best > 0 wherever any mask holds
+        def pow2_level(lv):
+            i2 = jnp.clip(lv, 1.0, 256.0).astype(jnp.int32) - 1
+            i2 = i2 | (i2 >> 1)
+            i2 = i2 | (i2 >> 2)
+            i2 = i2 | (i2 >> 4)
+            return i2 + 1
 
-        def shade_body(s, carry):
-            mask = win == s
-            # Skip slots that won nothing in this tile (an any-reduce + branch
-            # vs ~60 vector ops of interpolation/lighting): with overdraw or
-            # multipass splits, most binned slots lose everywhere.
-            return jax.lax.cond(jnp.any(mask), lambda c: _shade_slot(s, mask, c),
-                                lambda c: c, carry)
+        def read_shade_scalars(s):
+            """All SMEM constants one entry's shading needs, read ONCE per
+            entry — the segmented strip loop below must not multiply scalar
+            loads (multiplying them 8x is what sank the rejected round-1
+            strip-wise-shading experiment)."""
+            return (
+                tuple(trf_ref[_W00 + k, s] for k in range(3)),
+                tuple(trf_ref[_DX + k, s] for k in range(3)),
+                tuple(trf_ref[_DY + k, s] for k in range(3)),
+                tuple(trf_ref[_CVP + k, s] for k in range(9)),
+                tuple(trf_ref[_NP + k, s] for k in range(9)),
+                tuple(trf_ref[_ATTRP + k, s] for k in range(9)),
+                (trf_ref[_TPP + 0, s], trf_ref[_TPP + 1, s]),
+                (trf_ref[_DZV + 0, s], trf_ref[_DZV + 1, s]),
+                tri_ref[_ISTEX, s] != 0,
+                tri_ref[_TEXBASE, s] >> 9,  # texture base row (index * 512)
+            )
 
-        def _shade_slot(s, mask, carry):
-            pix, shade, planes, tm = carry
-            w0, w1, w2 = weights(s)
-            t0, t1, t2 = w0 * inv, w1 * inv, w2 * inv  # w / (1/z)
+        def shade_planes(sc, mask, pxf_, pyf_, inv_, best_):
+            """One entry's per-pixel shade math on planes of ANY strip height
+            (full tile for the flat path, 8-row strips for the segmented
+            path). Returns (flat-packed color, shade factor, texel coordinate
+            planes, textured-winner mask, is_tex scalar)."""
+            w00s, dxs, dys, cvp, npl, atp, tpp, dzv, is_tex, trow = sc
+            w0 = w00s[0] + pxf_ * dxs[0] + pyf_ * dys[0]
+            w1 = w00s[1] + pxf_ * dxs[1] + pyf_ * dys[1]
+            w2 = w00s[2] + pxf_ * dxs[2] + pyf_ * dys[2]
+            t0, t1, t2 = w0 * inv_, w1 * inv_, w2 * inv_  # w / (1/z)
 
-            def interp3(base):
-                x = trf_ref[base + 0, s] * t0 + trf_ref[base + 3, s] * t1 + trf_ref[base + 6, s] * t2
-                y = trf_ref[base + 1, s] * t0 + trf_ref[base + 4, s] * t1 + trf_ref[base + 7, s] * t2
-                z = trf_ref[base + 2, s] * t0 + trf_ref[base + 5, s] * t1 + trf_ref[base + 8, s] * t2
+            def interp3(c):
+                x = c[0] * t0 + c[3] * t1 + c[6] * t2
+                y = c[1] * t0 + c[4] * t1 + c[7] * t2
+                z = c[2] * t0 + c[5] * t1 + c[8] * t2
                 return x, y, z
 
             # Halfway-vector headlight (render.swift:327-330).
-            px_, py_, pz_ = interp3(_CVP)
+            px_, py_, pz_ = interp3(cvp)
             pn = -rsqrt3(px_, py_, pz_)
             px_, py_, pz_ = px_ * pn, py_ * pn, pz_ * pn
-            nx, ny, nz = interp3(_NP)
+            nx, ny, nz = interp3(npl)
             nn = rsqrt3(nx, ny, nz)
             nx, ny, nz = nx * nn, ny * nn, nz * nn
             hx, hy, hz = px_ + nx, py_ + ny, pz_ + nz
@@ -507,7 +533,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # Flat-color path: interpolate premultiplied color, pack 0x00RRGGBB.
             # int32 packing (channels are in [0, 255], truncation toward zero
             # matches the reference's UInt8 cast, render.swift:84-87).
-            cr, cg, cb = interp3(_ATTRP)
+            cr, cg, cb = interp3(atp)
             packed = (
                 ((sh * cr).astype(jnp.int32) << 16)
                 | ((sh * cg).astype(jnp.int32) << 8)
@@ -517,24 +543,10 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # Texture path: anisotropic ripmap level select (render.swift:94-111).
             # cr/cg double as the perspective-correct (u, v) mapping.
             u, v = cr, cg
-            lvl_u = best / jnp.abs(trf_ref[_TPP + 0, s] - u * trf_ref[_DZV + 0, s])
-            lvl_v = best / jnp.abs(trf_ref[_TPP + 1, s] - v * trf_ref[_DZV + 1, s])
-
-            def pow2_level(lv):
-                i2 = jnp.clip(lv, 1.0, 256.0).astype(jnp.int32) - 1
-                i2 = i2 | (i2 >> 1)
-                i2 = i2 | (i2 >> 2)
-                i2 = i2 | (i2 >> 4)
-                return i2 + 1
-
+            lvl_u = best_ / jnp.abs(tpp[0] - u * dzv[0])
+            lvl_v = best_ / jnp.abs(tpp[1] - v * dzv[1])
             lu = pow2_level(lvl_u)
             lv = pow2_level(lvl_v)
-
-            is_tex = tri_ref[_ISTEX, s] != 0
-            pix = jnp.where(mask & ~is_tex, packed, pix)
-            shade = jnp.where(mask, sh, shade)
-            active = mask & is_tex
-            trow = tri_ref[_TEXBASE, s] >> 9  # texture base row (index * 512)
 
             # In-kernel texel fetch. The ripmap level selection keeps a tile's
             # texel footprint proportional to its pixel extent (~1 texel/pixel),
@@ -570,36 +582,115 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     tv - yf,
                 )
 
-            # Merge this slot's texel coordinates into the tile-wide planes
-            # (winner masks are disjoint across slots, so each pixel's
-            # coordinates are written by exactly one slot). The actual atlas
-            # reads happen ONCE per tile in phase 3, partitioned per texture
-            # block — not per triangle.
-            planes = tuple(jnp.where(active, a, b) for a, b in zip(new, planes))
-            tm = tm | active.astype(jnp.int32)
-            return pix, shade, planes, tm
+            return packed, sh, new, mask & is_tex, is_tex
 
         zf = jnp.zeros((tile_h, tile_w), jnp.float32)
         zi = jnp.zeros((tile_h, tile_w), jnp.int32)
-        planes0 = (zi, zi) if not bilinear else (zi, zi, zi, zi, zf, zf)
-        shade0 = (jnp.full((tile_h, tile_w), jnp.int32(background)), zf,
-                  planes0, jnp.zeros((tile_h, tile_w), jnp.int32))
         if segmented:
-            carry = jax.lax.fori_loop(
+            # STRIP-SCOPED shading (phase 1's mirror): each entry shades only
+            # the 8-row strips its bbox overlaps, and only after a cheap
+            # bbox-scoped "won anything?" prescan. The running merged planes
+            # live in VMEM scratch refs; pix_ref flips from winner ids to
+            # colors here, so the ids are copied to win_ref first. inv_ref
+            # caches the once-per-tile perspective divide (1/0 = inf where no
+            # winner; every read of it is winner-masked downstream).
+            win_ref[...] = pix_ref[0]
+            pix_ref[0] = jnp.full((tile_h, tile_w), jnp.int32(background))
+            shade_ref[...] = zf
+            inv_ref[...] = 1.0 / ooz_ref[0]
+            neg1t = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            plane_init = ((neg1t, zi) if not bilinear
+                          else (neg1t, zi, zi, zi, zf, zf))
+            for _pr, _pv in zip(plane_refs, plane_init):
+                _pr[...] = _pv
+
+            def shade_entry(s, c):
+                r0 = jnp.clip((tri_ref[_YMIN, s] - y_top) >> 3, 0, nstr - 1)
+                r1 = jnp.clip((tri_ref[_YMAX, s] - y_top) >> 3, 0, nstr - 1)
+
+                def anyw(r, a):
+                    m = win_ref[pl.ds(r * 8, 8), :] == s
+                    return a | jnp.any(m).astype(jnp.int32)
+
+                found = jax.lax.fori_loop(r0, r1 + 1, anyw, jnp.int32(0))
+
+                @pl.when(found != 0)
+                def _shade_strips():
+                    sc = read_shade_scalars(s)
+                    is_tex = sc[8]
+
+                    def sstrip(r, cc):
+                        o = r * 8
+                        sl = pl.ds(o, 8)
+                        mask8 = win_ref[sl, :] == s
+                        packed, sh, new, active, _ = shade_planes(
+                            sc, mask8, pxf8, pyf8 + o.astype(jnp.float32),
+                            inv_ref[sl, :], ooz_ref[0, sl, :])
+                        pix_ref[0, sl, :] = jnp.where(
+                            mask8 & ~is_tex, packed, pix_ref[0, sl, :])
+                        shade_ref[sl, :] = jnp.where(
+                            mask8, sh, shade_ref[sl, :])
+                        # Winner masks are disjoint across entries, so each
+                        # pixel's texel coordinates are written exactly once.
+                        for pr, nv in zip(plane_refs, new):
+                            pr[sl, :] = jnp.where(active, nv, pr[sl, :])
+                        return cc
+
+                    jax.lax.fori_loop(r0, r1 + 1, sstrip, 0)
+                return c
+
+            jax.lax.fori_loop(
                 0, bb_n,
-                lambda i, c: shade_body(bb_ref[i >> 7, i & 127], c), shade0)
-            pix, shade, planes, tm = jax.lax.fori_loop(
+                lambda i, c: shade_entry(bb_ref[i >> 7, i & 127], c), 0)
+            jax.lax.fori_loop(
                 0, n,
-                lambda i, c: shade_body(
-                    ids_ref[(off + i) >> 7, (off + i) & 127], c), carry)
+                lambda i, c: shade_entry(
+                    ids_ref[(off + i) >> 7, (off + i) & 127], c), 0)
+
+            pix = pix_ref[0]
+            shade = shade_ref[...]
+            planes = tuple(pr[...] for pr in plane_refs)
+            # Texel row planes are always >= 0 when written (clamped, plus a
+            # nonnegative texture base); -1 init marks untextured pixels.
+            tm = (planes[0] >= 0).astype(jnp.int32)
         else:
+            # Loop-invariant: the winner depth is fixed after visibility, so
+            # the perspective divide happens once per tile, not per slot.
+            inv = 1.0 / best  # best > 0 wherever any mask holds
+
+            def shade_body(s, carry):
+                mask = win == s
+                # Skip slots that won nothing in this tile (an any-reduce +
+                # branch vs ~60 vector ops of interpolation/lighting): with
+                # overdraw, most binned slots lose everywhere.
+                return jax.lax.cond(jnp.any(mask),
+                                    lambda c: _shade_slot(s, mask, c),
+                                    lambda c: c, carry)
+
+            def _shade_slot(s, mask, carry):
+                pix, shade, planes, tm = carry
+                packed, sh, new, active, is_tex = shade_planes(
+                    read_shade_scalars(s), mask, pxf, pyf, inv, best)
+                pix = jnp.where(mask & ~is_tex, packed, pix)
+                shade = jnp.where(mask, sh, shade)
+                # Merge this slot's texel coordinates into the tile-wide
+                # planes; the actual atlas reads happen ONCE per tile in
+                # phase 3, partitioned per texture block — not per triangle.
+                planes = tuple(jnp.where(active, a, b)
+                               for a, b in zip(new, planes))
+                tm = tm | active.astype(jnp.int32)
+                return pix, shade, planes, tm
+
+            planes0 = (zi, zi) if not bilinear else (zi, zi, zi, zi, zf, zf)
+            shade0 = (jnp.full((tile_h, tile_w), jnp.int32(background)), zf,
+                      planes0, zi)
             pix, shade, planes, tm = jax.lax.fori_loop(
                 0, n, lambda i, c: shade_body(slot_id(i), c), shade0)
 
-        # The color-path / background merge lands first; the texel fetch below
-        # overwrites the textured winners' pixels when there are any.
-        pix_ref[0] = pix
-        ooz_ref[0] = best
+            # The color-path / background merge lands first; the texel fetch
+            # below overwrites the textured winners' pixels when there are any.
+            pix_ref[0] = pix
+            ooz_ref[0] = best
 
         if phases == "shade":  # timing instrument: stop before the fetch
             return
@@ -627,16 +718,19 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # minimize gather work (1-vreg gathers, per-sub-strip row ranges
             # shrink ~2x) and the nearest path below flattens the loop nest so
             # the extra strips don't multiply fixed costs.
-            sph = min(_NEAREST_STRIP_H if not bilinear else _FETCH_STRIP_H,
-                      tile_h)
+            req = _NEAREST_STRIP_H if not bilinear else _FETCH_STRIP_H
             # ValueError, not assert: under `python -O` a stripped assert would
             # silently truncate the strips loop (tile_h // sph) and leave the
             # tile's bottom rows unfetched.
-            if not (sph > 0 and sph % 8 == 0 and tile_h % sph == 0):
+            if not (req > 0 and req % 8 == 0):
                 raise ValueError(
-                    f"fetch strip height {sph} must be a positive multiple of "
-                    f"8 dividing tile_h={tile_h} (check S3D_NEAREST_STRIP_H / "
-                    f"S3D_FETCH_STRIP_H)")
+                    f"fetch strip height {req} must be a positive multiple of "
+                    f"8 (check S3D_NEAREST_STRIP_H / S3D_FETCH_STRIP_H)")
+            # Legalize to the largest 8-multiple divisor of tile_h <= the
+            # requested height (strips must tile the block exactly; e.g.
+            # tile_h=120 with the default 16 legalizes to 8).
+            sph = max(d for d in range(8, min(req, tile_h) + 1, 8)
+                      if tile_h % d == 0)
             zf8 = jnp.zeros((sph, tile_w), jnp.float32)
 
             zi8 = jnp.zeros((sph, tile_w), jnp.int32)
@@ -757,11 +851,18 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 # Both bilinear rows share the texture block (wrap stays
                 # inside the level block), so LY0's block identifies the
                 # texture. Most strips sample a single texture: bound the
-                # texture loop by the strip's [min, max] block ids (2 cheap
-                # reductions) instead of scanning all atlas textures.
+                # texture loop by the strip's [min, max] block ids instead of
+                # scanning all atlas textures. Nearest derives them from the
+                # row reductions already computed (>>9 is monotonic, so
+                # min/max commute with it; empty strips keep the same
+                # sentinels: atlas_rows>>9 == num_tex, -1>>9 == -1) — two
+                # fewer full-plane reductions per strip.
                 TB = LY0 >> 9
-                tmin = jnp.min(jnp.where(active, TB, num_tex))
-                tmax = jnp.max(jnp.where(active, TB, -1))
+                if not bilinear:
+                    tmin, tmax = rmin_a >> 9, rmax_a >> 9
+                else:
+                    tmin = jnp.min(jnp.where(active, TB, num_tex))
+                    tmax = jnp.max(jnp.where(active, TB, -1))
 
                 def fetch_tex(t, acc):
                     sel_t = active & (TB == t)
@@ -1063,8 +1164,22 @@ def _rasterize_chunk(
         # a seg_rows window at each tile's dynamic row offset into SMEM
         # scratch. The broadband list rides SMEM per frame.
         ids_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        # Strip-scoped shading scratch (win ids, shade, 1/z, texel planes):
+        # phase 2 merges per 8-row strip through these instead of full-tile
+        # loop carries.
+        tile = (tile_h, tile_w)
         scratch = [pltpu.SMEM((seg_rows, 128), jnp.int32),
-                   pltpu.SemaphoreType.DMA]
+                   pltpu.SemaphoreType.DMA,
+                   pltpu.VMEM(tile, jnp.int32),     # win ids
+                   pltpu.VMEM(tile, jnp.float32),   # shade factor
+                   pltpu.VMEM(tile, jnp.float32),   # 1/best
+                   pltpu.VMEM(tile, jnp.int32),     # texel row plane
+                   pltpu.VMEM(tile, jnp.int32)]     # texel col plane
+        if sampling == "bilinear":
+            scratch += [pltpu.VMEM(tile, jnp.int32),    # second sample row
+                        pltpu.VMEM(tile, jnp.int32),    # second sample col
+                        pltpu.VMEM(tile, jnp.float32),  # x weight
+                        pltpu.VMEM(tile, jnp.float32)]  # y weight
         seg_specs = [smem_b(bb_rows, 128)]  # frame b's broadband slots
         seg_args = [bb]
 

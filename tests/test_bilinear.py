@@ -79,3 +79,17 @@ def test_backends_match_golden_bilinear():
         px, _ = Renderer(scene, config=BILINEAR, backend=backend).render(m, 160, 120)
         frac = pixel_mismatch_fraction(gp, px, tol=1)
         assert frac < 0.003, (backend, frac)
+
+
+def test_pallas_bilinear_large_scene():
+    # Bilinear through the SEGMENTED kernel path (large scene): exercises the
+    # strip-scoped shade's 6-plane scratch merge (two sample rows + weights),
+    # which small-scene tests never reach.
+    from swift3drenderer_tpu.models import stress_scene
+
+    scene = stress_scene(seed=0, objects=128)
+    m = identity_camera()
+    gp, _ = golden_render(scene, m, 160, 120, config=BILINEAR)
+    px, _ = Renderer(scene, config=BILINEAR, backend="pallas").render(m, 160, 120)
+    frac = pixel_mismatch_fraction(gp, px, tol=1)
+    assert frac < 0.004, frac

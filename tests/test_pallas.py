@@ -207,6 +207,25 @@ def test_pallas_tile_h_128_matches_golden():
     assert pixel_mismatch_fraction(gp, np.asarray(px), tol=1) < 0.002
 
 
+def test_pallas_non_pow2_tile_h_matches_golden():
+    # Non-power-of-two tile heights (any multiple of 8) let resolutions tile
+    # exactly (1080 = 9x120 — zero padded rows vs 6.7% waste at 128). The
+    # default 16-row fetch strips don't divide 120, so this also exercises
+    # the strip-height legalization (16 -> 8 at tile_h=120).
+    from swift3drenderer_tpu.ops.raster_pallas import rasterize_pallas
+
+    scene = default_scene(seed=0)
+    dev = scene_to_device(scene)
+    m = jnp.asarray(identity_camera(), jnp.float32)
+    setup = build_setup(dev, m, width=320, height=240, config=DEFAULT_CONFIG)
+    px, _ = rasterize_pallas(
+        setup, dev["textures"], width=320, height=240,
+        background=DEFAULT_CONFIG.background_packed, tile_h=120,
+        interpret=True)
+    gp, _ = golden_render(scene, np.asarray(m), 320, 240)
+    assert pixel_mismatch_fraction(gp, np.asarray(px), tol=1) < 0.002
+
+
 def test_pallas_multipass_spatial_matches_golden():
     # Spatial slot partitioning reorders slots across passes; the
     # global-winner-id merge must still resolve depth ties to the smallest
