@@ -1042,6 +1042,10 @@ _FETCH_STRIP_H = int(os.environ.get("S3D_FETCH_STRIP_H", "16"))
 # 4-vreg gathers overshoot). Overridable for on-chip A/B probes.
 _NEAREST_STRIP_H = int(os.environ.get("S3D_NEAREST_STRIP_H", "16"))
 
+# On-chip A/B probe knob: force small scenes through the segmented front-end
+# (strip-scoped kernel) instead of the SMEM-resident flat path.
+_FORCE_SEGMENTED = os.environ.get("S3D_FORCE_SEGMENTED", "") == "1"
+
 # VMEM budget for the resident texture atlas (1 MB per 512x512 texture).
 # Probed on-chip (tools; 2026-08-16): a 96 MB atlas compiles and renders
 # correctly on v5e, so the round-1 12 MB bound was ~8x too conservative.
@@ -1083,7 +1087,8 @@ def _rasterize_chunk(
     # table fully SMEM-resident — no per-grid-step DMA. Larger scenes use the
     # SEGMENTED front-end (bin_segments): one flat K*S-entry sort instead of
     # ntiles S-wide sorts, per-tile windows DMA'd at dynamic row offsets.
-    ids_resident = (s + 3 <= 128) and (bsz * nty * ntx <= 512)
+    ids_resident = ((s + 3 <= 128) and (bsz * nty * ntx <= 512)
+                    and not _FORCE_SEGMENTED)
     if ids_resident:
         ids, counts = jax.vmap(partial(
             bin_triangles, width=width, height=height,
