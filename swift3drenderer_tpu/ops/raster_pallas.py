@@ -378,6 +378,13 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             pxi8 = pxi[:8]
             pxf8 = pxf[:8]
             zeros8 = jnp.zeros((8, tile_w), jnp.float32)
+
+            def strip_range(ymn, ymx):
+                """Inclusive 8-row strip span of a bbox row range. Phases 1
+                and 2 must agree bit-exactly (else shading could miss strips
+                visibility wrote), so both call this one helper."""
+                return (jnp.clip((ymn - y_top) >> 3, 0, nstr - 1),
+                        jnp.clip((ymx - y_top) >> 3, 0, nstr - 1))
             pix_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
             ooz_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
             if track_ids:
@@ -388,8 +395,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 xmx = tri_ref[_XMAX, s]
                 ymn = tri_ref[_YMIN, s]
                 ymx = tri_ref[_YMAX, s]
-                r0 = jnp.clip((ymn - y_top) >> 3, 0, nstr - 1)
-                r1 = jnp.clip((ymx - y_top) >> 3, 0, nstr - 1)
+                r0, r1 = strip_range(ymn, ymx)
                 cover_x = (pxi8 >= xmn) & (pxi8 <= xmx)
                 # Per-entry invariants hoisted out of the strip loop: the
                 # x-dependent half of each edge function.
@@ -605,8 +611,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 _pr[...] = _pv
 
             def shade_entry(s, c):
-                r0 = jnp.clip((tri_ref[_YMIN, s] - y_top) >> 3, 0, nstr - 1)
-                r1 = jnp.clip((tri_ref[_YMAX, s] - y_top) >> 3, 0, nstr - 1)
+                r0, r1 = strip_range(tri_ref[_YMIN, s], tri_ref[_YMAX, s])
 
                 def anyw(r, a):
                     m = win_ref[pl.ds(r * 8, 8), :] == s
@@ -726,11 +731,19 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 raise ValueError(
                     f"fetch strip height {req} must be a positive multiple of "
                     f"8 (check S3D_NEAREST_STRIP_H / S3D_FETCH_STRIP_H)")
-            # Legalize to the largest 8-multiple divisor of tile_h <= the
-            # requested height (strips must tile the block exactly; e.g.
-            # tile_h=120 with the default 16 legalizes to 8).
-            sph = max(d for d in range(8, min(req, tile_h) + 1, 8)
-                      if tile_h % d == 0)
+            sph = min(req, tile_h)
+            if tile_h % sph:
+                if req != _DEFAULT_STRIP_H:
+                    # An EXPLICIT knob value that doesn't tile the block must
+                    # fail fast, not silently run at a different height (an
+                    # A/B probe would record timings for the wrong config).
+                    raise ValueError(
+                        f"strip height {req} does not divide tile_h={tile_h} "
+                        f"(check S3D_NEAREST_STRIP_H / S3D_FETCH_STRIP_H)")
+                # The shipped default legalizes to the largest 8-multiple
+                # divisor (strips must tile the block exactly; e.g. tile_h=120
+                # with the default 16 legalizes to 8).
+                sph = max(d for d in range(8, sph + 1, 8) if tile_h % d == 0)
             zf8 = jnp.zeros((sph, tile_w), jnp.float32)
 
             zi8 = jnp.zeros((sph, tile_w), jnp.int32)
@@ -1025,7 +1038,8 @@ MAX_SLOTS_PER_PASS = 2048
 # counts + scratch) still fits the 1 MB SMEM. Validated on-chip.
 MAX_SLOTS_PER_PASS_B1 = 4096
 
-# NOTE: both S3D_*_STRIP_H env knobs below are read ONCE at module import —
+# NOTE: the S3D_*_STRIP_H / S3D_FORCE_SEGMENTED env knobs below are read
+# ONCE at module import —
 # setting them afterwards (e.g. from a notebook or a test) has no effect.
 # They exist for on-chip A/B probes launched as fresh processes.
 
@@ -1033,6 +1047,7 @@ MAX_SLOTS_PER_PASS_B1 = 4096
 # Re-measured on-chip after the round-2 midpoint-split rework (config 2,
 # 100-frame flight): 8 -> ~0.86 ms, 16 -> ~0.81, 32 -> ~0.84 — 16 balances
 # per-strip fixed costs against row-range unions, mirroring the nearest path.
+_DEFAULT_STRIP_H = 16  # un-overridden knobs legalize at non-pow2 tile heights
 _FETCH_STRIP_H = int(os.environ.get("S3D_FETCH_STRIP_H", "16"))
 
 # Strip height of the NEAREST path's flattened fast-path fetch (the bilinear
@@ -1105,8 +1120,10 @@ def _rasterize_chunk(
         ids, counts, starts, bb, bb_cnt = jax.vmap(partial(
             bin_segments, width=width, height=height,
             tile_h=tile_h, tile_w=tile_w, y_offset=y_offset))(setup)
-        # Static DMA window covering in-row offset + worst-case segment
-        # length + the 4-wide unroll tail (must match bin_segments' pad).
+        # Static DMA window covering the in-row offset (<= 127) + the
+        # worst-case segment length (must match bin_segments' pad; the +130
+        # keeps 3 rows of legacy headroom from the removed 4-wide unroll —
+        # harmless, and shrinking it must happen at BOTH sites).
         seg_rows = max(8, _cdiv(_cdiv(s + 130, 128), 8) * 8)
         bb_rows = bb.shape[1]
         bb = bb.reshape(bsz * bb_rows, 128)
