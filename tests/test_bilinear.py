@@ -81,6 +81,28 @@ def test_backends_match_golden_bilinear():
         assert frac < 0.003, (backend, frac)
 
 
+def test_pallas_bilinear_spatial_multipass():
+    # Spatial multipass (track_ids) x bilinear: the kernel unpacks gid_ref
+    # AND the 6-plane strip-scoped shade scratch together — the one ref
+    # layout no other test reaches. Must match the sequential multipass
+    # bit-exactly.
+    from swift3drenderer_tpu.models import stress_scene
+    from swift3drenderer_tpu.ops.raster_pallas import rasterize_pallas
+    from swift3drenderer_tpu.renderer import build_setup, scene_to_device
+    import jax.numpy as jnp
+
+    scene = stress_scene(seed=0, objects=128)
+    dev = scene_to_device(scene)
+    m = jnp.asarray(identity_camera(), jnp.float32)
+    setup = build_setup(dev, m, width=160, height=120, config=BILINEAR)
+    kw = dict(width=160, height=120, background=BILINEAR.background_packed,
+              interpret=True, sampling="bilinear")
+    seq_px, seq_d = rasterize_pallas(setup, dev["textures"], **kw)
+    sp_px, sp_d = rasterize_pallas(setup, dev["textures"], spatial=True, **kw)
+    np.testing.assert_array_equal(np.asarray(sp_px), np.asarray(seq_px))
+    np.testing.assert_array_equal(np.asarray(sp_d), np.asarray(seq_d))
+
+
 def test_pallas_bilinear_large_scene():
     # Bilinear through the SEGMENTED kernel path (large scene): exercises the
     # strip-scoped shade's 6-plane scratch merge (two sample rows + weights),
