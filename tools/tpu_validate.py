@@ -92,6 +92,19 @@ def main() -> int:
           f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
           flush=True)
 
+    # Non-power-of-two tile height (round 3: any multiple of 8; 240 = 2x120
+    # rows exactly) + the strip-height legalization (default 16 -> 8 at 120).
+    px, _ = rasterize_pallas(
+        setup, dev["textures"], width=320, height=240,
+        background=DEFAULT_CONFIG.background_packed, tile_h=120,
+        interpret=(jax.default_backend() == "cpu"))
+    frac = mismatch(gp, np.asarray(px))
+    ok = frac < 0.005
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'tile_h=120':22s} "
+          f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+          flush=True)
+
     # Spatial multipass at tile_h=128 (id-plane merge + tall tiles): must
     # match golden where the sequential multipass does.
     scene = stress_scene(seed=0, objects=128)
