@@ -139,8 +139,12 @@ def bin_triangles(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
 # routed to the shared broadband list instead (covers up to a 2x4-tile bbox;
 # at 64x128-px tiles that is ~256x512 px — anything larger is "big" and walks
 # every tile's loop exactly like the flat binner would have made it walk most
-# of them anyway).
-_SEG_K = 8
+# of them anyway). Env-overridable for on-chip A/B probes (read ONCE at module
+# import, like the other S3D_* knobs): smaller K halves the flat sort's entry
+# count but routes 1-row-wider bboxes to the broadband list every tile walks.
+_SEG_K = int(os.environ.get("S3D_SEG_K", "8"))
+if not 2 <= _SEG_K <= 16:
+    raise ValueError(f"S3D_SEG_K={_SEG_K} out of range [2, 16]")
 
 
 def bin_segments(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
