@@ -31,10 +31,15 @@ def main() -> None:
         scene = load_scene(name)
     else:
         scene = SCENES[name](seed=0)
+    if frames < 1:
+        raise SystemExit("frames must be >= 1")
     third = max(frames // 3, 1)
+    # Last leg absorbs the remainder so the script covers exactly `frames`.
+    last = max(frames - 2 * third, 0)
+    script = f"{third}:w;{third}:w mx2" + (f";{last}:s mx-2" if last else "")
     pixels, stats = run_headless(
         scene, width=width, height=height, frames=frames,
-        script=f"{third}:w;{third}:w mx2;{third}:s mx-2", backend=backend,
+        script=script, backend=backend,
         out_dir="flight_frames", out_every=15)
     write_ppm("flight_final.ppm", unpack_rgb_words(pixels))
     print("wrote flight_frames/ and flight_final.ppm")

@@ -1239,7 +1239,7 @@ def _rasterize_chunk(
 
 @partial(jax.jit, static_argnames=("width", "height", "background", "tile_h",
                                    "tile_w", "interpret", "sampling", "phases",
-                                   "spatial"))
+                                   "spatial", "cap_override"))
 def rasterize_pallas(
     setup: Dict[str, jnp.ndarray],
     textures: jnp.ndarray,
@@ -1254,6 +1254,7 @@ def rasterize_pallas(
     sampling: str = "nearest",
     phases: str = "full",
     spatial: bool = False,
+    cap_override: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full rasterize + shade; returns (pixels (H, W) uint32, depth (H, W) f32).
 
@@ -1261,13 +1262,16 @@ def rasterize_pallas(
     depth: passes cover ascending slot ranges and a later pass only wins a pixel
     on strictly greater 1/z, which preserves the reference's earlier-triangle
     depth-tie order across the split (render.swift:324).
+
+    ``cap_override`` replaces the per-pass slot cap (tests/probes only: forces
+    the multipass machinery on scenes that would fit one pass).
     """
     batched = jax.tree.map(lambda a: a[None], setup)
     pix, ooz = _rasterize_multipass(
         batched, textures, spatial=spatial, width=width, height=height,
         background=background, tile_h=tile_h, tile_w=tile_w,
         y_offset=y_offset, interpret=interpret, sampling=sampling,
-        phases=phases)
+        phases=phases, cap_override=cap_override)
     return pix[0], ooz[0]
 
 
@@ -1300,9 +1304,11 @@ def rasterize_pallas_batch(
         phases=phases)
 
 
-def _rasterize_multipass(setup, textures, spatial=False, **kw):
+def _rasterize_multipass(setup, textures, spatial=False, cap_override=None,
+                         **kw):
     bsz, s = setup["live"].shape
-    cap = MAX_SLOTS_PER_PASS_B1 if bsz == 1 else MAX_SLOTS_PER_PASS
+    cap = cap_override or (
+        MAX_SLOTS_PER_PASS_B1 if bsz == 1 else MAX_SLOTS_PER_PASS)
     if textures.shape[0] > MAX_ATLAS_TEXTURES:
         return _rasterize_texture_paged(setup, textures, cap=cap, **kw)
     if s <= cap:

@@ -92,11 +92,15 @@ def test_pallas_bilinear_spatial_multipass():
     import jax.numpy as jnp
 
     scene = stress_scene(seed=0, objects=128)
+    # cap_override forces real multipass: without it the 3078-slot scene fits
+    # a single 4096-slot pass, both calls take the identical single-pass path,
+    # and the spatial gid_ref layout is never built (vacuous test).
+    assert 2 * scene.num_triangles > 1024
     dev = scene_to_device(scene)
     m = jnp.asarray(identity_camera(), jnp.float32)
     setup = build_setup(dev, m, width=160, height=120, config=BILINEAR)
     kw = dict(width=160, height=120, background=BILINEAR.background_packed,
-              interpret=True, sampling="bilinear")
+              interpret=True, sampling="bilinear", cap_override=1024)
     seq_px, seq_d = rasterize_pallas(setup, dev["textures"], **kw)
     sp_px, sp_d = rasterize_pallas(setup, dev["textures"], spatial=True, **kw)
     np.testing.assert_array_equal(np.asarray(sp_px), np.asarray(seq_px))

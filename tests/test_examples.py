@@ -47,8 +47,9 @@ def test_compare_backends(tmp_path):
     # Every available backend must agree with the oracle; "unavailable" is
     # tolerated only for native (the .so may not be built in a fresh checkout).
     for line in out.splitlines():
-        if "unavailable" in line and not line.startswith("native"):
-            pytest.fail(line)
-        if "mismatch" in line:
+        if "unavailable" in line:
+            if not line.startswith("native"):
+                pytest.fail(line)
+        elif "pixel mismatch vs golden:" in line:
             frac = float(line.rsplit(":", 1)[1].strip().rstrip("%"))
             assert frac < 1.0, line

@@ -179,15 +179,25 @@ def test_pallas_non_tile_aligned_resolution():
 
 
 def test_pallas_multi_pass_large_scene():
-    # Scenes beyond MAX_SLOTS_PER_PASS render in depth-merged passes.
+    # Scenes beyond the per-pass slot cap render in depth-merged passes.
+    # cap_override forces >= 3 passes here: a single frame's real cap is
+    # MAX_SLOTS_PER_PASS_B1 = 4096, which this 3078-slot scene would fit —
+    # without the override the multipass machinery (incl. the lax.cond
+    # dead-trailing-chunk skip) would silently go untested.
     from swift3drenderer_tpu.models import stress_scene
-    from swift3drenderer_tpu.ops.raster_pallas import MAX_SLOTS_PER_PASS
+    from swift3drenderer_tpu.ops.raster_pallas import rasterize_pallas
+
     scene = stress_scene(seed=0, objects=128)
-    assert 2 * scene.num_triangles > MAX_SLOTS_PER_PASS  # forces >= 2 passes
-    m = identity_camera()
-    gp, _ = golden_render(scene, m, 160, 120)
-    px, _ = Renderer(scene, backend="pallas").render(m, 160, 120)
-    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004
+    assert 2 * scene.num_triangles > 2 * 1024  # >= 3 passes at cap 1024
+    dev = scene_to_device(scene)
+    m = jnp.asarray(identity_camera(), jnp.float32)
+    setup = build_setup(dev, m, width=160, height=120, config=DEFAULT_CONFIG)
+    px, _ = rasterize_pallas(
+        setup, dev["textures"], width=160, height=120,
+        background=DEFAULT_CONFIG.background_packed, interpret=True,
+        cap_override=1024)
+    gp, _ = golden_render(scene, identity_camera(), 160, 120)
+    assert pixel_mismatch_fraction(gp, np.asarray(px), tol=1) < 0.004
 
 
 def test_pallas_tile_h_128_matches_golden():
@@ -256,21 +266,22 @@ def test_pallas_multipass_spatial_matches_golden():
     # original slot id (reference order), so output matches golden exactly
     # where the sequential multipass does.
     from swift3drenderer_tpu.models import stress_scene
-    from swift3drenderer_tpu.ops.raster_pallas import (
-        MAX_SLOTS_PER_PASS, rasterize_pallas)
+    from swift3drenderer_tpu.ops.raster_pallas import rasterize_pallas
 
     scene = stress_scene(seed=0, objects=128)
-    assert 2 * scene.num_triangles > MAX_SLOTS_PER_PASS
+    # cap_override forces real multipass (see test_pallas_multi_pass_large_scene).
+    assert 2 * scene.num_triangles > 1024
     dev = scene_to_device(scene)
     m = jnp.asarray(identity_camera(), jnp.float32)
     setup = build_setup(dev, m, width=160, height=120, config=DEFAULT_CONFIG)
     seq_px, seq_d = rasterize_pallas(
         setup, dev["textures"], width=160, height=120,
-        background=DEFAULT_CONFIG.background_packed, interpret=True)
+        background=DEFAULT_CONFIG.background_packed, interpret=True,
+        cap_override=1024)
     sp_px, sp_d = rasterize_pallas(
         setup, dev["textures"], width=160, height=120,
         background=DEFAULT_CONFIG.background_packed, interpret=True,
-        spatial=True)
+        spatial=True, cap_override=1024)
     np.testing.assert_array_equal(np.asarray(sp_px), np.asarray(seq_px))
     np.testing.assert_array_equal(np.asarray(sp_d), np.asarray(seq_d))
     gp, _ = golden_render(scene, np.asarray(m), 160, 120)
@@ -354,19 +365,26 @@ def test_pallas_texture_pages_with_slot_chunks(monkeypatch):
 
 def test_pallas_multi_pass_untextured_scene():
     # Multi-pass + zero textures (dummy atlas path) is a distinct combination.
+    # cap_override forces real multipass (a single frame's cap is 4096, which
+    # 2240 slots would fit in one pass).
     from swift3drenderer_tpu.models.primitives import SceneBuilder, add_tetrahedron
     from swift3drenderer_tpu.models.scene import _finish
-    from swift3drenderer_tpu.ops.raster_pallas import MAX_SLOTS_PER_PASS
+    from swift3drenderer_tpu.ops.raster_pallas import rasterize_pallas
     rng = np.random.default_rng(7)
     b = SceneBuilder()
-    for i in range(280):  # 1120 triangles -> 2240 slots -> 2 passes
+    for i in range(280):  # 1120 triangles -> 2240 slots -> 3 passes at cap 1024
         add_tetrahedron(b, rng, r=1.0,
                         p=(-20.0 + (i % 24) * 1.8, (i // 24) % 5 * 2.0,
                            -6.0 - (i // 120) * 4.0))
     scene = _finish(b, None, 0)
     assert scene.num_textures == 0
-    assert 2 * scene.num_triangles > MAX_SLOTS_PER_PASS
-    m = identity_camera()
-    gp, _ = golden_render(scene, m, 160, 96)
-    px, _ = Renderer(scene, backend="pallas").render(m, 160, 96)
-    assert pixel_mismatch_fraction(gp, px, tol=1) < 0.004
+    assert 2 * scene.num_triangles > 2 * 1024
+    dev = scene_to_device(scene)
+    m = jnp.asarray(identity_camera(), jnp.float32)
+    setup = build_setup(dev, m, width=160, height=96, config=DEFAULT_CONFIG)
+    px, _ = rasterize_pallas(
+        setup, dev["textures"], width=160, height=96,
+        background=DEFAULT_CONFIG.background_packed, interpret=True,
+        cap_override=1024)
+    gp, _ = golden_render(scene, identity_camera(), 160, 96)
+    assert pixel_mismatch_fraction(gp, np.asarray(px), tol=1) < 0.004

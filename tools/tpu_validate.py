@@ -49,7 +49,9 @@ def main() -> int:
         ("clipping(fly)", SCENES["clipping"](seed=0), "nearest", "fly"),
         ("default", SCENES["default"](seed=0), "nearest", None),
         ("regular_floor", SCENES["regular_floor"](seed=0), "nearest", None),
-        ("stress-multipass", stress_scene(seed=0, objects=128), "nearest", None),
+        # 3078 slots: single pass (B=1 cap 4096) but a windowed DMA id table —
+        # the real multipass checks run below with cap_override.
+        ("stress-3078slot", stress_scene(seed=0, objects=128), "nearest", None),
     ]
     failures = 0
     for name, scene, sampling, mode in cases:
@@ -105,23 +107,28 @@ def main() -> int:
           f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
           flush=True)
 
-    # Spatial multipass at tile_h=128 (id-plane merge + tall tiles): must
-    # match golden where the sequential multipass does.
+    # Real multipass on hardware (cap_override=1024 -> 3 passes; without it
+    # this 3078-slot scene fits the 4096-slot single-pass cap): sequential
+    # depth-merged passes with the lax.cond dead-chunk skip, then spatial
+    # partitioning at tile_h=128 (id-plane merge + tall tiles).
     scene = stress_scene(seed=0, objects=128)
     dev = scene_to_device(scene)
     m = jnp.asarray(Camera().update(Input(), force_update=True), jnp.float32)
     setup = build_setup(dev, m, width=320, height=240, config=DEFAULT_CONFIG)
-    px, _ = rasterize_pallas(
-        setup, dev["textures"], width=320, height=240,
-        background=DEFAULT_CONFIG.background_packed, tile_h=128, spatial=True,
-        interpret=(jax.default_backend() == "cpu"))
     gp, _ = golden_render(scene, np.asarray(m), 320, 240)
-    frac = mismatch(gp, np.asarray(px))
-    ok = frac < 0.005
-    failures += not ok
-    print(f"{'PASS' if ok else 'FAIL'}  {'spatial+tile128':22s} "
-          f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
-          flush=True)
+    for label, spatial, th in (("multipass-seq", False, 64),
+                               ("multipass-spatial128", True, 128)):
+        px, _ = rasterize_pallas(
+            setup, dev["textures"], width=320, height=240,
+            background=DEFAULT_CONFIG.background_packed, tile_h=th,
+            spatial=spatial, cap_override=1024,
+            interpret=(jax.default_backend() == "cpu"))
+        frac = mismatch(gp, np.asarray(px))
+        ok = frac < 0.005
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'}  {label:22s} "
+              f"({scene.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+              flush=True)
 
     # Row-band sharded kernel path on hardware: render the default scene as
     # two y_offset bands (the exact per-device computation of the fb-sharded
