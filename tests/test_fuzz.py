@@ -67,6 +67,22 @@ def test_fuzz_golden_vs_pallas(trial):
 
 
 @pytest.mark.parametrize("trial", range(2))
+def test_fuzz_golden_vs_pallas_segmented(trial):
+    # Pinned to a scene past the SMEM-resident threshold so the SEGMENTED
+    # front-end (windowed DMA id table + strip-scoped kernel) gets fuzzed at
+    # random poses — the generic pallas fuzz above can land on small scenes
+    # that all take the resident flat path.
+    rng = np.random.default_rng(6000 + trial)
+    scene = SCENES["regular_floor"](seed=int(rng.integers(0, 100)))
+    assert 2 * scene.num_triangles + 3 > 128  # past the resident threshold
+    m = random_pose(rng)
+    gp, _ = golden_render(scene, m, 160, 96)
+    px, _ = Renderer(scene, backend="pallas").render(m, 160, 96)
+    frac = pixel_mismatch_fraction(gp, px, tol=1)
+    assert frac < 0.005, frac
+
+
+@pytest.mark.parametrize("trial", range(2))
 def test_fuzz_bucketed_matches_exact(trial):
     # Bucketed live-resize path at random non-bucket sizes.
     rng = np.random.default_rng(4000 + trial)
