@@ -111,3 +111,22 @@ def test_fuzz_batch_matches_singles():
         px, d = r.render(ms[b], 160, 96)
         np.testing.assert_array_equal(np.asarray(batch_px[b]), px)
         np.testing.assert_array_equal(np.asarray(batch_d[b]), d)
+
+
+def test_batch_matches_singles_segmented():
+    # Batch through the SEGMENTED path (scene past the resident threshold).
+    # Winners must be bit-identical to single-frame renders; the DEPTH plane
+    # is only ULP-bounded: the batch compiles a different program (B=2 also
+    # halves the per-pass slot cap, 2048 vs 4096 -> two passes here), and
+    # XLA's FMA-contraction choices differ between the two programs — the
+    # same drift class as pallas-vs-xla (docs/KERNEL.md "Numerics").
+    rng = np.random.default_rng(5100)
+    scene = SCENES["regular_floor"](seed=0)
+    assert 2 * scene.num_triangles + 3 > 128  # past the resident threshold
+    ms = np.stack([random_pose(rng) for _ in range(2)])
+    r = Renderer(scene, backend="pallas")
+    batch_px, batch_d = r.render_batch(ms, 160, 96)
+    for b in range(2):
+        px, d = r.render(ms[b], 160, 96)
+        np.testing.assert_array_equal(np.asarray(batch_px[b]), px)
+        np.testing.assert_allclose(np.asarray(batch_d[b]), d, rtol=2e-5)
