@@ -99,6 +99,30 @@ def test_pallas_backend_sharded_multitile_bands():
     assert pixel_mismatch_fraction(np.asarray(px[0]), gp, tol=1) < 0.002
 
 
+def test_pallas_backend_sharded_segmented_scene():
+    # fb-band sharding x the SEGMENTED front-end: bin_segments must bin on
+    # band-relative rows (nonzero y_offset on the second shard), like the
+    # flat binner regression above — but through the windowed-DMA large-scene
+    # path (regular_floor is past the resident threshold). The camera pitches
+    # down so the floor spans BOTH bands (content rows ~97-231 of 384).
+    from swift3drenderer_tpu.camera import Camera, Input
+    from swift3drenderer_tpu.models import SCENES
+
+    scene = SCENES["regular_floor"](seed=0)
+    assert 2 * scene.num_triangles + 3 > 128  # past the resident threshold
+    cam = Camera()
+    cam.update(Input(), force_update=True)
+    m = cam.update(Input(mouse=(0.0, -60.0)))
+    mesh = make_mesh(n_frame=1, n_fb=2)
+    sr = ShardedRenderer(scene, mesh=mesh, backend="pallas")
+    px, _ = sr.render_batch(np.asarray(m)[None], 256, 384)
+    gp, _ = golden_render(scene, m, 256, 384)
+    bg = 0x001E1E1E
+    assert (np.asarray(px[0][:192]) != bg).any()
+    assert (np.asarray(px[0][192:]) != bg).any()
+    assert pixel_mismatch_fraction(np.asarray(px[0]), gp, tol=1) < 0.005
+
+
 def test_triangle_sharded_matches_single_device():
     # Scene (model) parallelism: slots sharded across 8 devices, frames
     # depth-composited with an all_gather + (1/z, global-id) merge. Must match
