@@ -119,7 +119,39 @@ def measure(scene_name: str, width: int, height: int, frames: int,
 CPU_BASELINE_FPS = 25.08
 
 
+def _require_backend(timeout_s: float) -> None:
+    """Fail fast (instead of hanging forever) when the TPU tunnel is dead.
+
+    This environment registers the 'axon' PJRT backend at interpreter start;
+    when its network tunnel is down, the FIRST backend touch blocks
+    indefinitely — observed as multi-hour hangs even for `jnp.ones(4)`. A
+    bench run that hangs produces no record at all; a clean diagnostic and a
+    nonzero exit is strictly more useful to whatever invoked us. The probe
+    runs in a daemon thread so a hung init can't keep the process alive.
+    """
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        import jax
+        info["devices"] = jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: backend initialization did not complete within "
+              f"{timeout_s:.0f}s — TPU tunnel down? (set "
+              f"S3D_BENCH_INIT_TIMEOUT to adjust)", file=sys.stderr)
+        os._exit(3)
+
+
 def main() -> None:
+    import os
+    _require_backend(float(os.environ.get("S3D_BENCH_INIT_TIMEOUT", "600")))
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="default")
     p.add_argument("--width", type=int, default=1920)
