@@ -151,7 +151,9 @@ def _require_backend(timeout_s: float) -> None:
 
 def main() -> None:
     import os
-    _require_backend(float(os.environ.get("S3D_BENCH_INIT_TIMEOUT", "600")))
+    # 1200s default: a healthy-but-cold tunnel has been observed to take tens
+    # of minutes on first contact; only a genuinely dead one exceeds this.
+    _require_backend(float(os.environ.get("S3D_BENCH_INIT_TIMEOUT", "1200")))
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="default")
     p.add_argument("--width", type=int, default=1920)
