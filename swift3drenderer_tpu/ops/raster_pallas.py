@@ -1052,6 +1052,10 @@ MAX_SLOTS_PER_PASS_B1 = 4096
 # 100-frame flight): 8 -> ~0.86 ms, 16 -> ~0.81, 32 -> ~0.84 — 16 balances
 # per-strip fixed costs against row-range unions, mirroring the nearest path.
 _DEFAULT_STRIP_H = 16  # un-overridden knobs legalize at non-pow2 tile heights
+# NOTE: the S3D_*_STRIP_H / S3D_FORCE_SEGMENTED knobs are bound ONCE at module
+# import — set them in the environment before importing this module; mutating
+# os.environ afterwards has no effect (they exist for on-chip A/B probe runs,
+# which launch fresh processes anyway).
 _FETCH_STRIP_H = int(os.environ.get("S3D_FETCH_STRIP_H", "16"))
 
 # Strip height of the NEAREST path's flattened fast-path fetch (the bilinear
