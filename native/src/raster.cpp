@@ -19,12 +19,27 @@
  */
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
 #include "internal.h"
+
+/* S3D_NATIVE_PROF=1 prints per-phase wall times to stderr — the native twin
+ * of utils/telemetry.py's per-stage timers. */
+static const bool kProf = []() {
+    const char *e = getenv("S3D_NATIVE_PROF");
+    return e && e[0] == '1';
+}();
+static inline double now_ms() {
+    return std::chrono::duration<double, std::milli>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+}
 
 /* Row-band parallelism: fn(y_begin, y_end) over [0, height) split across the
  * host cores. Bands are disjoint rows, so the visibility resolve (per-pixel
@@ -70,9 +85,22 @@ inline float edge_fn(const Vec3 &a, const Vec3 &b, float cx, float cy) {
     return (cx - a.x) * (a.y - b.y) + (cy - a.y) * (b.x - a.x);
 }
 
+#if defined(__SSE__)
+#include <immintrin.h>
+/* Hardware rsqrt + one Newton step: ~1e-7 relative error, which perturbs the
+ * final 8-bit channel by well under 1 LSB (shade is continuous in the inputs)
+ * while removing a sqrt+div dependency chain per call. */
+inline float rsqrt_nr(float x) {
+    float r = _mm_cvtss_f32(_mm_rsqrt_ss(_mm_set_ss(x)));
+    return r * (1.5f - 0.5f * x * r * r);
+}
+#else
+inline float rsqrt_nr(float x) { return 1.0f / sqrtf(x); }
+#endif
+
 inline Vec3 normalize3(Vec3 v) {
-    float n = sqrtf(dot3(v, v));
-    return {v.x / n, v.y / n, v.z / n};
+    float inv = rsqrt_nr(dot3(v, v));
+    return {v.x * inv, v.y * inv, v.z * inv};
 }
 
 inline uint32_t next_pow2(float f) {
@@ -171,8 +199,9 @@ inline Vec3 fetch_nearest(const uint32_t *tex, float u, float v, float lu,
                           float lv) {
     uint32_t Lx = next_pow2(fmaxf(fminf(lu, 256.f), 1.f));
     uint32_t Ly = next_pow2(fmaxf(fminf(lv, 256.f), 1.f));
-    int x = (int)(fmodf(u, 1.f) * (float)Lx) + (int)(511u & ~(2u * Lx - 1u));
-    int y = (int)(fmodf(v, 1.f) * (float)Ly) + (int)(511u & ~(2u * Ly - 1u));
+    /* fmodf(t, 1) == t - truncf(t) exactly (single roundss vs libm call). */
+    int x = (int)((u - truncf(u)) * (float)Lx) + (int)(511u & ~(2u * Lx - 1u));
+    int y = (int)((v - truncf(v)) * (float)Ly) + (int)(511u & ~(2u * Ly - 1u));
     x = x < 0 ? 0 : (x > 511 ? 511 : x);
     y = y < 0 ? 0 : (y > 511 ? 511 : y);
     uint32_t rgb = tex[x + (y << 9)];
@@ -190,8 +219,10 @@ inline Vec3 fetch_bilinear(const uint32_t *tex, float u, float v, float lu,
     float wx = tu - (float)x0, wy = tv - (float)y0;
     int offx = (int)(511u & ~(2u * Lx - 1u)), offy = (int)(511u & ~(2u * Ly - 1u));
     auto texel = [&](int xi, int yi) -> Vec3 {
-        int x = ((xi % (int)Lx) + (int)Lx) % (int)Lx + offx;
-        int y = ((yi % (int)Ly) + (int)Ly) % (int)Ly + offy;
+        /* Lx/Ly are powers of two: euclidean mod == bitwise AND (two's
+         * complement), replacing two idivs per coordinate. */
+        int x = (xi & (int)(Lx - 1u)) + offx;
+        int y = (yi & (int)(Ly - 1u)) + offy;
         uint32_t rgb = tex[x + (y << 9)];
         return {(float)(rgb >> 16), (float)((rgb >> 8) & 255), (float)(rgb & 255)};
     };
@@ -213,6 +244,8 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
     const float half_w = (float)W / 2.f, half_h = (float)H / 2.f;
     const int64_t V = sc->vertex_count(), A = sc->attribute_count(),
                   T = sc->triangle_count();
+
+    double t_geo = now_ms();
 
     /* Vertex + normal stages (batched; reference render.swift:248-255). */
     for (int64_t i = 0; i < V; i++) {
@@ -277,6 +310,8 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
         }
     }
 
+    double t_vis = now_ms();
+
     /* Clear + visibility resolve into the winner buffer. */
     float *depth = fb->depth;
     if (!depth) {
@@ -318,20 +353,27 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
     }
     });
 
+    double t_shade = now_ms();
+
     /* Deferred shading (render.swift:326-331 + texture path :312-316). */
+    const uint32_t *tex_base = sc->textures.data();
     parallel_rows(H, 32, [&](int band_y0, int band_y1) {
-    for (int64_t p = (int64_t)band_y0 * W; p < (int64_t)band_y1 * W; p++) {
+    for (int y = band_y0; y < band_y1; y++) {
+    const float fy = (float)y;
+    const int64_t row = (int64_t)y * W;
+    for (int64_t p = row; p < row + W; p++) {
         int32_t sidx = win[p];
         if (sidx < 0) {
             fb->pixels[p] = config->background;
             continue;
         }
         const Slot &sl = r->slots[(size_t)sidx];
-        float fx = (float)(p % W), fy = (float)(p / W);
+        float fx = (float)(p - row);
         float ooz = depth[p];
-        float w0 = (sl.w00[0] + fx * sl.dx[0] + fy * sl.dy[0]) / ooz;
-        float w1 = (sl.w00[1] + fx * sl.dx[1] + fy * sl.dy[1]) / ooz;
-        float w2 = (sl.w00[2] + fx * sl.dx[2] + fy * sl.dy[2]) / ooz;
+        float zi = 1.0f / ooz; /* one reciprocal; w/ooz as multiplies */
+        float w0 = (sl.w00[0] + fx * sl.dx[0] + fy * sl.dy[0]) * zi;
+        float w1 = (sl.w00[1] + fx * sl.dx[1] + fy * sl.dy[1]) * zi;
+        float w2 = (sl.w00[2] + fx * sl.dx[2] + fy * sl.dy[2]) * zi;
         auto interp = [&](const float v[3][3]) -> Vec3 {
             return {v[0][0] * w0 + v[1][0] * w1 + v[2][0] * w2,
                     v[0][1] * w0 + v[1][1] * w1 + v[2][1] * w2,
@@ -346,7 +388,7 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
             float u = color.x, v = color.y;
             float lu = ooz / fabsf(sl.tpp[0] - u * sl.dzv[0]);
             float lv = ooz / fabsf(sl.tpp[1] - v * sl.dzv[1]);
-            const uint32_t *tex = sc->textures.data() + ((size_t)sl.tex << 18);
+            const uint32_t *tex = tex_base + ((size_t)sl.tex << 18);
             color = config->bilinear ? fetch_bilinear(tex, u, v, lu, lv)
                                      : fetch_nearest(tex, u, v, lu, lv);
         }
@@ -355,5 +397,14 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
         uint32_t bb = (uint32_t)(shade * color.z);
         fb->pixels[p] = (rr << 16) | (gg << 8) | bb;
     }
+    }
     });
+
+    if (kProf) {
+        double t_end = now_ms();
+        fprintf(stderr,
+                "[s3d-native] geometry %7.3f ms  visibility %7.3f ms  "
+                "shade %7.3f ms  total %7.3f ms\n",
+                t_vis - t_geo, t_shade - t_vis, t_end - t_shade, t_end - t_geo);
+    }
 }
