@@ -35,6 +35,19 @@ static const bool kProf = []() {
     const char *e = getenv("S3D_NATIVE_PROF");
     return e && e[0] == '1';
 }();
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#define S3D_HAVE_AVX512 1
+#include <immintrin.h>
+#endif
+
+/* S3D_NATIVE_SIMD=0 forces the scalar visibility/shade loops (differential
+ * testing aid; the AVX-512 visibility path is bit-identical by construction —
+ * same op order, no FMA contraction — and the shade path agrees to <1 LSB). */
+static const bool kSimd = []() {
+    const char *e = getenv("S3D_NATIVE_SIMD");
+    return !(e && e[0] == '0');
+}();
 static inline double now_ms() {
     return std::chrono::duration<double, std::milli>(
                std::chrono::steady_clock::now().time_since_epoch())
@@ -110,6 +123,309 @@ inline uint32_t next_pow2(float f) {
     i |= i >> 4;
     return (uint32_t)(i + 1);
 }
+
+#ifdef S3D_HAVE_AVX512
+
+/* ---- AVX-512 visibility: 16 pixels per step, bit-identical to the scalar
+ * loop (identical op order: w = wr + fx*dx with separate mul+add, ooz =
+ * ((w0*rz0 + w1*rz1) + w2*rz2), strict > against the depth row). Masked
+ * loads/stores keep lanes past xmax untouched and unfaulting. */
+static void vis_slot_avx512(const Slot &sl, int32_t sidx, float *depth,
+                            int32_t *win, int W, int y_lo, int y_hi) {
+    const __m512 dx0 = _mm512_set1_ps(sl.dx[0]);
+    const __m512 dx1 = _mm512_set1_ps(sl.dx[1]);
+    const __m512 dx2 = _mm512_set1_ps(sl.dx[2]);
+    const __m512 rz0 = _mm512_set1_ps(sl.rvz[0]);
+    const __m512 rz1 = _mm512_set1_ps(sl.rvz[1]);
+    const __m512 rz2 = _mm512_set1_ps(sl.rvz[2]);
+    const __m512i vid = _mm512_set1_epi32(sidx);
+    const __m512 zero = _mm512_setzero_ps();
+    const __m512 lane = _mm512_cvtepi32_ps(_mm512_set_epi32(
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0));
+    for (int y = y_lo; y <= y_hi; y++) {
+        float fy = (float)y;
+        float wr0 = sl.w00[0] + fy * sl.dy[0];
+        float wr1 = sl.w00[1] + fy * sl.dy[1];
+        float wr2 = sl.w00[2] + fy * sl.dy[2];
+        const __m512 vr0 = _mm512_set1_ps(wr0);
+        const __m512 vr1 = _mm512_set1_ps(wr1);
+        const __m512 vr2 = _mm512_set1_ps(wr2);
+        float *drow = depth + (size_t)y * W;
+        int32_t *wrow = win + (size_t)y * W;
+        for (int x = sl.xmin; x <= sl.xmax; x += 16) {
+            int rem = sl.xmax - x + 1;
+            __mmask16 bm = rem >= 16 ? (__mmask16)0xFFFF
+                                     : (__mmask16)((1u << rem) - 1u);
+            __m512 fx = _mm512_add_ps(_mm512_set1_ps((float)x), lane);
+            __m512 w0 = _mm512_add_ps(vr0, _mm512_mul_ps(fx, dx0));
+            __m512 w1 = _mm512_add_ps(vr1, _mm512_mul_ps(fx, dx1));
+            __m512 w2 = _mm512_add_ps(vr2, _mm512_mul_ps(fx, dx2));
+            __mmask16 cov = _mm512_mask_cmp_ps_mask(bm, w0, zero, _CMP_GE_OQ);
+            cov = _mm512_mask_cmp_ps_mask(cov, w1, zero, _CMP_GE_OQ);
+            cov = _mm512_mask_cmp_ps_mask(cov, w2, zero, _CMP_GE_OQ);
+            if (!cov) continue;
+            __m512 ooz = _mm512_add_ps(
+                _mm512_add_ps(_mm512_mul_ps(w0, rz0), _mm512_mul_ps(w1, rz1)),
+                _mm512_mul_ps(w2, rz2));
+            __m512 d = _mm512_maskz_loadu_ps(cov, drow + x);
+            __mmask16 upd = _mm512_mask_cmp_ps_mask(cov, ooz, d, _CMP_GT_OQ);
+            if (!upd) continue;
+            _mm512_mask_storeu_ps(drow + x, upd, ooz);
+            _mm512_mask_storeu_epi32(wrow + x, upd, vid);
+        }
+    }
+}
+
+/* Vector twins of the scalar helpers (same formulas; rsqrt14+NR instead of
+ * the SSE rsqrt+NR — both ~1e-7 relative, <1 LSB on the packed channel). */
+static inline __m512 v_rsqrt_nr(__m512 x) {
+    __m512 r = _mm512_rsqrt14_ps(x);
+    __m512 half_x = _mm512_mul_ps(_mm512_set1_ps(0.5f), x);
+    return _mm512_mul_ps(
+        r, _mm512_sub_ps(_mm512_set1_ps(1.5f),
+                         _mm512_mul_ps(half_x, _mm512_mul_ps(r, r))));
+}
+
+/* next_pow2((int)clamp(f, 1, 256)) — the reference's level pick
+ * (render.swift:95-101), 16 lanes at a time. */
+static inline __m512i v_next_pow2(__m512 f) {
+    f = _mm512_max_ps(_mm512_min_ps(f, _mm512_set1_ps(256.f)),
+                      _mm512_set1_ps(1.f));
+    __m512i i = _mm512_sub_epi32(_mm512_cvttps_epi32(f),
+                                 _mm512_set1_epi32(1));
+    i = _mm512_or_epi32(i, _mm512_srli_epi32(i, 1));
+    i = _mm512_or_epi32(i, _mm512_srli_epi32(i, 2));
+    i = _mm512_or_epi32(i, _mm512_srli_epi32(i, 4));
+    return _mm512_add_epi32(i, _mm512_set1_epi32(1));
+}
+
+struct VTexel {
+    __m512 r, g, b;
+};
+
+/* 16 texels by explicit scalar loads: hardware vpgather is microcoded on
+ * some cores (measured ~10x slower than 16 loads on the build machine), so
+ * assemble the vector manually. Addresses are wrapped into the 512x512
+ * atlas (AND 0x3FFFF) so lanes masked off upstream stay in-bounds. */
+static inline __m512i v_texel_load(__m512i addr, const uint32_t *tex) {
+    addr = _mm512_and_epi32(addr, _mm512_set1_epi32(0x3FFFF));
+    alignas(64) int32_t a[16];
+    alignas(64) int32_t t[16];
+    _mm512_store_epi32(a, addr);
+    for (int k = 0; k < 16; k++) t[k] = (int32_t)tex[(uint32_t)a[k]];
+    return _mm512_load_epi32(t);
+}
+
+static inline VTexel v_unpack_rgb(__m512i t) {
+    const __m512i m255 = _mm512_set1_epi32(255);
+    return {_mm512_cvtepi32_ps(_mm512_and_epi32(_mm512_srli_epi32(t, 16), m255)),
+            _mm512_cvtepi32_ps(_mm512_and_epi32(_mm512_srli_epi32(t, 8), m255)),
+            _mm512_cvtepi32_ps(_mm512_and_epi32(t, m255))};
+}
+
+/* AVX-512 deferred shade for one slot over its bbox ∩ band: pixels whose
+ * winner id matches are re-derived from the slot constants exactly as the
+ * scalar loop does (one reciprocal of 1/z, mul/add interpolation order). */
+static void shade_slot_avx512(const Slot &sl, int32_t sidx, const float *depth,
+                              const int32_t *win, uint32_t *pixels, int W,
+                              int y_lo, int y_hi, const uint32_t *tex,
+                              bool bilinear) {
+    const __m512i vid = _mm512_set1_epi32(sidx);
+    const __m512 one = _mm512_set1_ps(1.f);
+    const __m512 lane = _mm512_cvtepi32_ps(_mm512_set_epi32(
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0));
+    const __m512 w000 = _mm512_set1_ps(sl.w00[0]);
+    const __m512 w001 = _mm512_set1_ps(sl.w00[1]);
+    const __m512 w002 = _mm512_set1_ps(sl.w00[2]);
+    const __m512 dx0 = _mm512_set1_ps(sl.dx[0]);
+    const __m512 dx1 = _mm512_set1_ps(sl.dx[1]);
+    const __m512 dx2 = _mm512_set1_ps(sl.dx[2]);
+    const __m512 sgn = _mm512_set1_ps(-0.0f);
+    for (int y = y_lo; y <= y_hi; y++) {
+        const __m512 fy = _mm512_set1_ps((float)y);
+        const float *drow = depth + (size_t)y * W;
+        const int32_t *wrow = win + (size_t)y * W;
+        uint32_t *prow = pixels + (size_t)y * W;
+        for (int x = sl.xmin; x <= sl.xmax; x += 16) {
+            int rem = sl.xmax - x + 1;
+            __mmask16 bm = rem >= 16 ? (__mmask16)0xFFFF
+                                     : (__mmask16)((1u << rem) - 1u);
+            __m512i wl = _mm512_maskz_loadu_epi32(bm, wrow + x);
+            __mmask16 m = _mm512_mask_cmpeq_epi32_mask(bm, wl, vid);
+            if (!m) continue;
+            /* ooz: masked-off lanes get 1.0 so the reciprocal stays finite. */
+            __m512 ooz = _mm512_mask_loadu_ps(one, m, drow + x);
+            __m512 zi = _mm512_div_ps(one, ooz);
+            __m512 fx = _mm512_add_ps(_mm512_set1_ps((float)x), lane);
+            /* scalar order: ((w00 + fx*dx) + fy*dy) * zi */
+            __m512 w0 = _mm512_mul_ps(
+                _mm512_add_ps(
+                    _mm512_add_ps(w000, _mm512_mul_ps(fx, dx0)),
+                    _mm512_mul_ps(fy, _mm512_set1_ps(sl.dy[0]))),
+                zi);
+            __m512 w1 = _mm512_mul_ps(
+                _mm512_add_ps(
+                    _mm512_add_ps(w001, _mm512_mul_ps(fx, dx1)),
+                    _mm512_mul_ps(fy, _mm512_set1_ps(sl.dy[1]))),
+                zi);
+            __m512 w2 = _mm512_mul_ps(
+                _mm512_add_ps(
+                    _mm512_add_ps(w002, _mm512_mul_ps(fx, dx2)),
+                    _mm512_mul_ps(fy, _mm512_set1_ps(sl.dy[2]))),
+                zi);
+            /* interp(v) = v0*w0 + v1*w1 + v2*w2, ((a + b) + c) order. */
+            auto interp = [&](const float v[3][3], int c) -> __m512 {
+                return _mm512_add_ps(
+                    _mm512_add_ps(
+                        _mm512_mul_ps(_mm512_set1_ps(v[0][c]), w0),
+                        _mm512_mul_ps(_mm512_set1_ps(v[1][c]), w1)),
+                    _mm512_mul_ps(_mm512_set1_ps(v[2][c]), w2));
+            };
+            __m512 cx = interp(sl.cvp, 0), cy = interp(sl.cvp, 1),
+                   cz = interp(sl.cvp, 2);
+            __m512 nx = interp(sl.np_, 0), ny = interp(sl.np_, 1),
+                   nz = interp(sl.np_, 2);
+            auto dot3v = [&](__m512 ax, __m512 ay, __m512 az, __m512 bx,
+                             __m512 by, __m512 bz) -> __m512 {
+                return _mm512_add_ps(
+                    _mm512_add_ps(_mm512_mul_ps(ax, bx),
+                                  _mm512_mul_ps(ay, by)),
+                    _mm512_mul_ps(az, bz));
+            };
+            __m512 ci = v_rsqrt_nr(dot3v(cx, cy, cz, cx, cy, cz));
+            /* point = -normalize(cv) */
+            __m512 px = _mm512_xor_ps(_mm512_mul_ps(cx, ci), sgn);
+            __m512 py = _mm512_xor_ps(_mm512_mul_ps(cy, ci), sgn);
+            __m512 pz = _mm512_xor_ps(_mm512_mul_ps(cz, ci), sgn);
+            __m512 ni = v_rsqrt_nr(dot3v(nx, ny, nz, nx, ny, nz));
+            nx = _mm512_mul_ps(nx, ni);
+            ny = _mm512_mul_ps(ny, ni);
+            nz = _mm512_mul_ps(nz, ni);
+            __m512 hx = _mm512_add_ps(px, nx), hy = _mm512_add_ps(py, ny),
+                   hz = _mm512_add_ps(pz, nz);
+            __m512 hi = v_rsqrt_nr(dot3v(hx, hy, hz, hx, hy, hz));
+            __m512 shade = _mm512_mul_ps(dot3v(hx, hy, hz, nx, ny, nz), hi);
+            __m512 cr = interp(sl.attrp, 0);
+            __m512 cg = interp(sl.attrp, 1);
+            __m512 cb = interp(sl.attrp, 2);
+            if (sl.istex) {
+                __m512 u = cr, v = cg;
+                const __m512 absm = _mm512_set1_ps(-0.0f);
+                __m512 lu = _mm512_div_ps(
+                    ooz, _mm512_andnot_ps(
+                             absm, _mm512_sub_ps(
+                                       _mm512_set1_ps(sl.tpp[0]),
+                                       _mm512_mul_ps(
+                                           u, _mm512_set1_ps(sl.dzv[0])))));
+                __m512 lv = _mm512_div_ps(
+                    ooz, _mm512_andnot_ps(
+                             absm, _mm512_sub_ps(
+                                       _mm512_set1_ps(sl.tpp[1]),
+                                       _mm512_mul_ps(
+                                           v, _mm512_set1_ps(sl.dzv[1])))));
+                __m512i Lx = v_next_pow2(lu), Ly = v_next_pow2(lv);
+                /* off = 511 & ~(2L - 1) */
+                const __m512i c511 = _mm512_set1_epi32(511);
+                const __m512i cm1 = _mm512_set1_epi32(-1);
+                __m512i offx = _mm512_and_epi32(
+                    c511, _mm512_xor_epi32(
+                              _mm512_sub_epi32(_mm512_slli_epi32(Lx, 1),
+                                               _mm512_set1_epi32(1)),
+                              cm1));
+                __m512i offy = _mm512_and_epi32(
+                    c511, _mm512_xor_epi32(
+                              _mm512_sub_epi32(_mm512_slli_epi32(Ly, 1),
+                                               _mm512_set1_epi32(1)),
+                              cm1));
+                __m512 Lxf = _mm512_cvtepi32_ps(Lx);
+                __m512 Lyf = _mm512_cvtepi32_ps(Ly);
+                VTexel t;
+                if (!bilinear) {
+                    /* x = (int)((u - trunc u) * Lx) + offx, clamped to 511 */
+                    __m512 fu = _mm512_sub_ps(
+                        u, _mm512_roundscale_ps(
+                               u, _MM_FROUND_TO_ZERO | _MM_FROUND_NO_EXC));
+                    __m512 fv = _mm512_sub_ps(
+                        v, _mm512_roundscale_ps(
+                               v, _MM_FROUND_TO_ZERO | _MM_FROUND_NO_EXC));
+                    __m512i xi = _mm512_add_epi32(
+                        _mm512_cvttps_epi32(_mm512_mul_ps(fu, Lxf)), offx);
+                    __m512i yi = _mm512_add_epi32(
+                        _mm512_cvttps_epi32(_mm512_mul_ps(fv, Lyf)), offy);
+                    const __m512i zi32 = _mm512_setzero_si512();
+                    xi = _mm512_min_epi32(_mm512_max_epi32(xi, zi32), c511);
+                    yi = _mm512_min_epi32(_mm512_max_epi32(yi, zi32), c511);
+                    __m512i addr =
+                        _mm512_add_epi32(xi, _mm512_slli_epi32(yi, 9));
+                    t = v_unpack_rgb(v_texel_load(addr, tex));
+                } else {
+                    /* bilinear: 4 wrapped gathers + lerp (scalar twin above) */
+                    __m512 fu = _mm512_sub_ps(
+                        u, _mm512_roundscale_ps(
+                               u, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC));
+                    __m512 fv = _mm512_sub_ps(
+                        v, _mm512_roundscale_ps(
+                               v, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC));
+                    __m512 tu = _mm512_sub_ps(_mm512_mul_ps(fu, Lxf),
+                                              _mm512_set1_ps(0.5f));
+                    __m512 tv = _mm512_sub_ps(_mm512_mul_ps(fv, Lyf),
+                                              _mm512_set1_ps(0.5f));
+                    __m512 x0f = _mm512_roundscale_ps(
+                        tu, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+                    __m512 y0f = _mm512_roundscale_ps(
+                        tv, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+                    __m512i x0 = _mm512_cvttps_epi32(x0f);
+                    __m512i y0 = _mm512_cvttps_epi32(y0f);
+                    __m512 wx = _mm512_sub_ps(tu, x0f);
+                    __m512 wy = _mm512_sub_ps(tv, y0f);
+                    __m512i lmx = _mm512_sub_epi32(Lx, _mm512_set1_epi32(1));
+                    __m512i lmy = _mm512_sub_epi32(Ly, _mm512_set1_epi32(1));
+                    auto fetch = [&](__m512i xi, __m512i yi) -> VTexel {
+                        xi = _mm512_add_epi32(_mm512_and_epi32(xi, lmx), offx);
+                        yi = _mm512_add_epi32(_mm512_and_epi32(yi, lmy), offy);
+                        __m512i addr =
+                            _mm512_add_epi32(xi, _mm512_slli_epi32(yi, 9));
+                        return v_unpack_rgb(v_texel_load(addr, tex));
+                    };
+                    __m512i x1 = _mm512_add_epi32(x0, _mm512_set1_epi32(1));
+                    __m512i y1 = _mm512_add_epi32(y0, _mm512_set1_epi32(1));
+                    VTexel c00 = fetch(x0, y0), c10 = fetch(x1, y0);
+                    VTexel c01 = fetch(x0, y1), c11 = fetch(x1, y1);
+                    __m512 iwx = _mm512_sub_ps(one, wx);
+                    __m512 iwy = _mm512_sub_ps(one, wy);
+                    __m512 w00v = _mm512_mul_ps(iwx, iwy);
+                    __m512 w10v = _mm512_mul_ps(wx, iwy);
+                    __m512 w01v = _mm512_mul_ps(iwx, wy);
+                    __m512 w11v = _mm512_mul_ps(wx, wy);
+                    auto lerp = [&](__m512 a, __m512 b, __m512 c,
+                                    __m512 d) -> __m512 {
+                        return _mm512_add_ps(
+                            _mm512_add_ps(_mm512_mul_ps(w00v, a),
+                                          _mm512_mul_ps(w10v, b)),
+                            _mm512_add_ps(_mm512_mul_ps(w01v, c),
+                                          _mm512_mul_ps(w11v, d)));
+                    };
+                    t = {lerp(c00.r, c10.r, c01.r, c11.r),
+                         lerp(c00.g, c10.g, c01.g, c11.g),
+                         lerp(c00.b, c10.b, c01.b, c11.b)};
+                }
+                cr = t.r;
+                cg = t.g;
+                cb = t.b;
+            }
+            __m512i rr = _mm512_cvttps_epi32(_mm512_mul_ps(shade, cr));
+            __m512i gg = _mm512_cvttps_epi32(_mm512_mul_ps(shade, cg));
+            __m512i bb = _mm512_cvttps_epi32(_mm512_mul_ps(shade, cb));
+            __m512i pix = _mm512_or_epi32(
+                _mm512_or_epi32(_mm512_slli_epi32(rr, 16),
+                                _mm512_slli_epi32(gg, 8)),
+                bb);
+            _mm512_mask_storeu_epi32(prow + x, m, pix);
+        }
+    }
+}
+
+#endif  // S3D_HAVE_AVX512
 
 }  // namespace
 
@@ -329,6 +645,12 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
         if (!sl.live) continue;
         int y_lo = std::max(sl.ymin, band_y0);
         int y_hi = std::min(sl.ymax, band_y1 - 1);
+#ifdef S3D_HAVE_AVX512
+        if (kSimd) {
+            vis_slot_avx512(sl, (int32_t)sidx, depth, win, W, y_lo, y_hi);
+            continue;
+        }
+#endif
         for (int y = y_lo; y <= y_hi; y++) {
             float fy = (float)y;
             float wr0 = sl.w00[0] + fy * sl.dy[0];
@@ -357,6 +679,42 @@ extern "C" void s3d_render(s3d_renderer *r, const float *m,
 
     /* Deferred shading (render.swift:326-331 + texture path :312-316). */
     const uint32_t *tex_base = sc->textures.data();
+#ifdef S3D_HAVE_AVX512
+    if (kSimd) {
+        parallel_rows(H, 32, [&](int band_y0, int band_y1) {
+            /* Unwon pixels -> background (vector compare + masked store). */
+            const __m512i bg = _mm512_set1_epi32((int32_t)config->background);
+            const __m512i neg = _mm512_set1_epi32(-1);
+            for (int y = band_y0; y < band_y1; y++) {
+                int32_t *wrow = win + (size_t)y * W;
+                uint32_t *prow = fb->pixels + (size_t)y * W;
+                for (int x = 0; x < W; x += 16) {
+                    int rem = W - x;
+                    __mmask16 bm = rem >= 16 ? (__mmask16)0xFFFF
+                                             : (__mmask16)((1u << rem) - 1u);
+                    __m512i wl = _mm512_maskz_loadu_epi32(bm, wrow + x);
+                    __mmask16 mneg =
+                        _mm512_mask_cmpeq_epi32_mask(bm, wl, neg);
+                    _mm512_mask_storeu_epi32(prow + x, mneg, bg);
+                }
+            }
+            /* Winner pixels are disjoint across slots, so per-slot masked
+             * overwrite shades each pixel exactly once (TPU kernel's deferred
+             * structure, raster_pallas.py phase 2). */
+            for (size_t sidx = 0; sidx < r->slots.size(); sidx++) {
+                const Slot &sl = r->slots[sidx];
+                if (!sl.live) continue;
+                int y_lo = std::max(sl.ymin, band_y0);
+                int y_hi = std::min(sl.ymax, band_y1 - 1);
+                if (y_lo > y_hi) continue;
+                const uint32_t *tex =
+                    sl.istex ? tex_base + ((size_t)sl.tex << 18) : nullptr;
+                shade_slot_avx512(sl, (int32_t)sidx, depth, win, fb->pixels,
+                                  W, y_lo, y_hi, tex, config->bilinear != 0);
+            }
+        });
+    } else
+#endif
     parallel_rows(H, 32, [&](int band_y0, int band_y1) {
     for (int y = band_y0; y < band_y1; y++) {
     const float fy = (float)y;

@@ -142,3 +142,49 @@ def test_renderer_native_backend():
     assert pixel_mismatch_fraction(gp, px, tol=1) < 0.002
     with pytest.raises(ValueError, match="native backend renders on host"):
         r.render_device(m, 160, 120)
+
+
+@pytest.mark.quick
+def test_simd_matches_scalar_path():
+    """The AVX-512 visibility path must be bit-identical to the scalar loops
+    (same op order by construction); the shade path may differ by <=1 LSB.
+    S3D_NATIVE_SIMD binds at library load, so compare across subprocesses."""
+    import sys
+    code = (
+        "import numpy as np, sys\n"
+        "from swift3drenderer_tpu.models import default_scene, clipping_scene\n"
+        "from swift3drenderer_tpu.camera import Camera, Input\n"
+        "from swift3drenderer_tpu.native import NativeRenderer\n"
+        "from swift3drenderer_tpu.config import RenderConfig\n"
+        "out = {}\n"
+        "for name, scene in [('default', default_scene(seed=0)),\n"
+        "                    ('clipping', clipping_scene(seed=0))]:\n"
+        "    for sampling in ('nearest', 'bilinear'):\n"
+        "        r = NativeRenderer(scene, config=RenderConfig(sampling=sampling))\n"
+        "        cam = Camera()\n"
+        "        m = np.asarray(cam.update(Input(), force_update=True), np.float32)\n"
+        "        for _ in range(3):\n"
+        "            m = np.asarray(cam.update(Input(up=1.0, mouse=(20.0, 8.0))), np.float32)\n"
+        "        px, d = r.render(m, 192, 144)\n"
+        "        out[f'{name}-{sampling}-px'] = px\n"
+        "        out[f'{name}-{sampling}-d'] = d\n"
+        "np.savez(sys.argv[1], **out)\n"
+    )
+    outs = {}
+    for knob in ("0", "1"):
+        path = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                            f"s3d_simd_{knob}_{os.getpid()}.npz")
+        env = dict(os.environ, S3D_NATIVE_SIMD=knob)
+        subprocess.run([sys.executable, "-c", code, path], env=env, check=True,
+                       capture_output=True, cwd=REPO)
+        outs[knob] = dict(np.load(path))
+        os.remove(path)
+    for key, scalar in outs["0"].items():
+        simd = outs["1"][key]
+        if key.endswith("-d"):
+            # depth comes from the visibility resolve: bit-exact by design
+            np.testing.assert_array_equal(scalar, simd, err_msg=key)
+        else:
+            db = np.abs(scalar.astype(np.int64).reshape(-1, 1).view(np.uint8)[:, :4].astype(np.int16)
+                        - simd.astype(np.int64).reshape(-1, 1).view(np.uint8)[:, :4].astype(np.int16))
+            assert db.max() <= 1, (key, db.max())
