@@ -188,3 +188,18 @@ def test_simd_matches_scalar_path():
             db = np.abs(scalar.astype(np.int64).reshape(-1, 1).view(np.uint8)[:, :4].astype(np.int16)
                         - simd.astype(np.int64).reshape(-1, 1).view(np.uint8)[:, :4].astype(np.int16))
             assert db.max() <= 1, (key, db.max())
+
+
+@pytest.mark.quick
+def test_native_baseline_run_config():
+    """tools/native_baseline.py drives NativeRenderer/NativeCamera pose-for-pose
+    with the reference harness flight (tools/cpu_baseline/harness.cpp:73-76);
+    smoke the driver at a tiny size so API drift fails fast."""
+    import importlib.util
+    path = os.path.join(REPO, "tools", "native_baseline.py")
+    spec = importlib.util.spec_from_file_location("native_baseline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    r = mod.run_config("tetrahedron", 160, 120, fly=True, frames=3)
+    assert r["frames"] == 3 and r["fps"] > 0 and r["checksum"] > 0
+    assert r["triangles"] == 4
