@@ -22,7 +22,7 @@ import numpy as np
 
 
 def measure(scene_name: str, width: int, height: int, frames: int,
-            backend: str, batch: int = 1) -> dict:
+            backend: str, batch: int = 1, tile_h: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +61,8 @@ def measure(scene_name: str, width: int, height: int, frames: int,
         render = functools.partial(render_batch_pallas, interpret=interpret)
     elif backend == "pallas":
         from swift3drenderer_tpu.ops.raster_pallas import render_frame_pallas
-        render = functools.partial(render_frame_pallas, interpret=interpret)
+        render = functools.partial(render_frame_pallas, interpret=interpret,
+                                   tile_h=tile_h)
     else:
         assert batch == 1, "--batch needs the pallas backend"
         render = render_frame_xla
@@ -164,6 +165,9 @@ def main() -> None:
     p.add_argument("--backend", default="pallas")
     p.add_argument("--batch", type=int, default=1,
                    help="serving mode: cameras per kernel dispatch (pallas)")
+    p.add_argument("--tile-h", type=int, default=None,
+                   help="override the kernel tile height (A/B probes; "
+                        "default: adaptive per resolution)")
     p.add_argument("--all-configs", action="store_true",
                    help="print a table over the BASELINE configs instead")
     args = p.parse_args()
@@ -179,7 +183,7 @@ def main() -> None:
         return
 
     r = measure(args.scene, args.width, args.height, args.frames, args.backend,
-                batch=args.batch)
+                batch=args.batch, tile_h=args.tile_h)
     mpix = r["pixels"] * r["fps"] / 1e6
     vs = (r["fps"] / CPU_BASELINE_FPS) if CPU_BASELINE_FPS else None
     tag = f" batch={args.batch}" if args.batch > 1 else ""

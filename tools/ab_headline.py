@@ -1,0 +1,69 @@
+"""On-chip A/B sweep of headline-config kernel variants.
+
+Runs `python bench.py` (the driver's exact protocol) in a fresh subprocess per
+variant — the S3D_* knobs bind at module import, so each variant needs its own
+interpreter — and prints a ranked table. Repeats each variant R times
+round-robin so tunnel-latency phases average out across variants rather than
+biasing whichever ran last.
+
+    python tools/ab_headline.py [--reps 3] [--frames 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+VARIANTS = [
+    # (name, env overrides, extra bench args)
+    ("default(128)", {}, []),
+    ("tile120", {}, ["--tile-h", "120"]),
+    ("seg128", {"S3D_FORCE_SEGMENTED": "1"}, []),
+    ("seg120", {"S3D_FORCE_SEGMENTED": "1"}, ["--tile-h", "120"]),
+    ("tile64", {}, ["--tile-h", "64"]),
+]
+
+
+def run_once(env_over: dict, extra: list[str], frames: int) -> dict:
+    env = dict(os.environ, **env_over)
+    cmd = [sys.executable, "bench.py", "--frames", str(frames)] + extra
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=os.path.join(os.path.dirname(__file__), ".."))
+    if out.returncode != 0:
+        raise RuntimeError(f"{cmd} failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset of variant names")
+    args = ap.parse_args()
+
+    chosen = VARIANTS
+    if args.variants:
+        names = set(args.variants.split(","))
+        chosen = [v for v in VARIANTS if v[0] in names]
+
+    results: dict[str, list[float]] = {v[0]: [] for v in chosen}
+    for rep in range(args.reps):
+        for name, env_over, extra in chosen:
+            r = run_once(env_over, extra, args.frames)
+            ms = r["extra"]["frame_ms"]
+            results[name].append(ms)
+            print(f"rep {rep}: {name:14s} {ms:7.3f} ms  "
+                  f"({r['value']:.0f} fps, {r['vs_baseline']}x)", flush=True)
+
+    print("\nvariant          best      median")
+    for name, samples in sorted(results.items(), key=lambda kv: min(kv[1])):
+        print(f"{name:14s} {min(samples):7.3f} {statistics.median(samples):9.3f}")
+
+
+if __name__ == "__main__":
+    main()
