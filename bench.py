@@ -138,8 +138,11 @@ def _require_backend(timeout_s: float) -> None:
     info = {}
 
     def probe():
-        import jax
-        info["devices"] = jax.devices()
+        try:
+            import jax
+            info["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, then fail fast below
+            info["error"] = e
         done.set()
 
     threading.Thread(target=probe, daemon=True).start()
@@ -147,6 +150,12 @@ def _require_backend(timeout_s: float) -> None:
         print(f"bench: backend initialization did not complete within "
               f"{timeout_s:.0f}s — TPU tunnel down? (set "
               f"S3D_BENCH_INIT_TIMEOUT to adjust)", file=sys.stderr)
+        os._exit(3)
+    if "error" in info:
+        # A dead tunnel can also error fast (observed: "Unable to initialize
+        # backend 'axon': UNAVAILABLE") — surface that instead of waiting.
+        print(f"bench: backend initialization failed: {info['error']}",
+              file=sys.stderr)
         os._exit(3)
 
 
