@@ -186,3 +186,23 @@ def test_pallas_backend_sharded_alignment_check():
     sr = ShardedRenderer(scene, mesh=make_mesh(1, 4), backend="pallas")
     with pytest.raises(ValueError, match="8-row-aligned"):
         sr.render_batch(_cameras(1), 128, 4 * 9)
+
+
+def test_triangle_sharded_nonpow2_axis_fallback():
+    # A 6-device fb axis has no XOR butterfly partners; render_scene_sharded
+    # must take the all_gather + serial-scan composite and still match the
+    # single-device render exactly.
+    from swift3drenderer_tpu.parallel.sharding import render_scene_sharded
+
+    scene = default_scene(seed=0)
+    mesh = make_mesh(n_frame=1, n_fb=6)
+    m = _cameras(1)[0]
+    import jax.numpy as jnp
+    from swift3drenderer_tpu.renderer import scene_to_device
+    dev = scene_to_device(scene)
+    px, depth = render_scene_sharded(
+        dev, jnp.asarray(m, jnp.float32), width=256, height=192, mesh=mesh,
+        backend="pallas", interpret=True)
+    single_px, single_d = Renderer(scene, backend="pallas").render(m, 256, 192)
+    np.testing.assert_array_equal(np.asarray(px), single_px)
+    np.testing.assert_array_equal(np.asarray(depth), single_d)
