@@ -21,9 +21,13 @@ import sys
 VARIANTS = [
     # (name, env overrides, extra bench args)
     ("default(128)", {}, []),
-    ("tile120", {}, ["--tile-h", "120"]),
+    # NB: 16-row strips don't divide 120 and legalize to 8 (slower per the
+    # KERNEL.md ledger) — pair tile_h=120 with 24-row strips for a fair trial.
+    ("tile120/sph24", {"S3D_NEAREST_STRIP_H": "24", "S3D_FETCH_STRIP_H": "24"},
+     ["--tile-h", "120"]),
     ("seg128", {"S3D_FORCE_SEGMENTED": "1"}, []),
-    ("seg120", {"S3D_FORCE_SEGMENTED": "1"}, ["--tile-h", "120"]),
+    ("seg120/sph24", {"S3D_FORCE_SEGMENTED": "1", "S3D_NEAREST_STRIP_H": "24",
+                      "S3D_FETCH_STRIP_H": "24"}, ["--tile-h", "120"]),
     ("tile64", {}, ["--tile-h", "64"]),
 ]
 
