@@ -239,10 +239,52 @@ def main() -> int:
           f"({paged.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
           flush=True)
 
+    # Strip-height knob variant: tile_h=120 with EXPLICIT 24-row strips (the
+    # ab_headline A/B pairing; distinct kernel build from the legalized-8
+    # default). The S3D_*_STRIP_H knobs bind at module import, so this runs in
+    # a subprocess. Skipped under --no-subprocess (interpret-mode CI shortcut).
+    import subprocess
+    import sys as _sys
+    if "--no-subprocess" not in _sys.argv:
+        code = (
+            "import os, jax\n"
+            "if os.environ.get('S3D_CHILD_CPU') == '1':\n"
+            "    jax.config.update('jax_platforms', 'cpu')\n"
+            "import dataclasses, numpy as np, jax.numpy as jnp\n"
+            "from swift3drenderer_tpu.camera import Camera, Input\n"
+            "from swift3drenderer_tpu.config import DEFAULT_CONFIG\n"
+            "from swift3drenderer_tpu.golden import render_frame as gr\n"
+            "from swift3drenderer_tpu.models import SCENES\n"
+            "from swift3drenderer_tpu.ops.raster_pallas import render_frame_pallas\n"
+            "from swift3drenderer_tpu.renderer import scene_to_device\n"
+            "scene = SCENES['default'](seed=0)\n"
+            "m = Camera().update(Input(), force_update=True)\n"
+            "px, _ = render_frame_pallas(scene_to_device(scene),\n"
+            "    jnp.asarray(m, jnp.float32), width=320, height=240,\n"
+            "    tile_h=120, interpret=(jax.default_backend() == 'cpu'))\n"
+            "gp, _ = gr(scene, m, 320, 240)\n"
+            "import sys; sys.path.insert(0, 'tools')\n"
+            "from tpu_validate import mismatch\n"
+            "frac = mismatch(gp, np.asarray(px))\n"
+            "assert frac < 0.005, frac\n"
+            "print(f'strip24 mismatch {frac*100:.3f}%')\n"
+        )
+        env = dict(os.environ, S3D_NEAREST_STRIP_H="24", S3D_FETCH_STRIP_H="24",
+                   S3D_CHILD_CPU="1" if backend == "cpu" else "0")
+        res = subprocess.run([_sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__))))
+        ok = res.returncode == 0
+        failures += not ok
+        detail = (res.stdout.strip().splitlines() or ["?"])[-1] if ok \
+            else res.stderr.strip().splitlines()[-1][:70]
+        print(f"{'PASS' if ok else 'FAIL'}  {'tile120+strip24':22s} ({detail})",
+              flush=True)
+
     # Optional randomized hardware fuzz: random scene family / seed / pose /
     # odd resolution, pallas-on-chip vs golden (the CPU suite fuzzes interpret
     # mode only). Run: python tools/tpu_validate.py --fuzz 12
-    import sys as _sys
     ntrials = 0
     if "--fuzz" in _sys.argv:
         ntrials = int(_sys.argv[_sys.argv.index("--fuzz") + 1])
