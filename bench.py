@@ -22,7 +22,8 @@ import numpy as np
 
 
 def measure(scene_name: str, width: int, height: int, frames: int,
-            backend: str, batch: int = 1, tile_h: int | None = None) -> dict:
+            backend: str, batch: int = 1, tile_h: int | None = None,
+            objects: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +43,8 @@ def measure(scene_name: str, width: int, height: int, frames: int,
     from swift3drenderer_tpu.models import SCENES
     from swift3drenderer_tpu.renderer import render_frame_xla, scene_to_device
 
-    scene = SCENES[scene_name](seed=0)
+    scene = SCENES[scene_name](seed=0, **({"objects": objects} if objects
+                                          else {}))
     dev = scene_to_device(scene)
     cam = Camera()
     mats = np.stack([
@@ -177,6 +179,9 @@ def main() -> None:
     p.add_argument("--tile-h", type=int, default=None,
                    help="override the kernel tile height (A/B probes; "
                         "default: adaptive per resolution)")
+    p.add_argument("--objects", type=int, default=None,
+                   help="object count for --scene stress (420 = the 10,083-"
+                        "triangle large-scene config in BASELINE.md)")
     p.add_argument("--all-configs", action="store_true",
                    help="print a table over the BASELINE configs instead")
     args = p.parse_args()
@@ -192,7 +197,7 @@ def main() -> None:
         return
 
     r = measure(args.scene, args.width, args.height, args.frames, args.backend,
-                batch=args.batch, tile_h=args.tile_h)
+                batch=args.batch, tile_h=args.tile_h, objects=args.objects)
     mpix = r["pixels"] * r["fps"] / 1e6
     vs = (r["fps"] / CPU_BASELINE_FPS) if CPU_BASELINE_FPS else None
     tag = f" batch={args.batch}" if args.batch > 1 else ""
