@@ -197,7 +197,7 @@ def main() -> None:
                    help="override the kernel tile height (A/B probes; "
                         "default: adaptive per resolution)")
     p.add_argument("--objects", type=int, default=None,
-                   help="object count for --scene stress (420 = the 10,083-"
+                   help="object count for --scene stress (840 = the 10,083-"
                         "triangle large-scene config in BASELINE.md)")
     p.add_argument("--all-configs", action="store_true",
                    help="print a table over the BASELINE configs instead")

@@ -162,11 +162,22 @@ def bin_segments(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
     both lists with an order-independent depth-tie rule equivalent to the
     reference's earlier-triangle-wins (see _raster_kernel ``segmented``).
 
+    Entries within a tile (and the broadband list) are PARTITIONED BY
+    MATERIAL — flat-color entries first, textured after — via the sort key
+    (tile, is_tex, slot). The kernel's shade phase then runs one statically
+    specialized unbranched loop per material: a per-entry is_tex branch
+    (pl.when) measured ~1 us per TAKEN branch on-chip — more than the
+    shade math it guarded — so the partition moves the branch out of the
+    kernel entirely. Visibility is material-blind and its depth-tie rule is
+    order-independent, so the reordering cannot change winners.
+
     Returns (ids_flat (rows, 128) i32 sorted entries' slots, tile-major;
-    counts (ntiles,) i32; starts (ntiles,) i32 entry offsets; bb (bb_rows,
-    128) i32 broadband slots ascending; bb_cnt () i32). Rows are padded so
-    the kernel's fixed-size DMA window never reads out of bounds; pad
-    entries decode to slot 0 and are count-guarded.
+    counts (ntiles,) i32; ncol (ntiles,) i32 flat-color entry count per
+    tile (a prefix of the segment); starts (ntiles,) i32 entry offsets;
+    bb (bb_rows, 128) i32 broadband slots, color-first then textured, each
+    ascending; bb_cnt () i32; bb_ncol () i32 color prefix length). Rows are
+    padded so the kernel's fixed-size DMA window never reads out of bounds;
+    pad entries decode to slot 0 and are count-guarded.
     """
     ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
     y0 = jnp.asarray(y_offset, jnp.int32)
@@ -184,12 +195,15 @@ def bin_segments(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
     small = live & (area <= _SEG_K)
     big = live & (area > _SEG_K)
 
-    # One sorted (tile, slot) entry per covered bbox cell of each small slot.
-    # spow (pow2 >= s) makes the slot decode a cheap mask; the BIG key parks
-    # invalid entries past every real tile and decodes to slot 0.
+    # One sorted (tile, is_tex, slot) entry per covered bbox cell of each
+    # small slot. spow (pow2 >= s) makes the slot decode a cheap mask; the
+    # BIG key parks invalid entries past every real tile and decodes to
+    # slot 0.
     spow = 1 << max(s - 1, 1).bit_length()
-    big_key = jnp.int32(nty * ntx * spow)
+    is_tex = setup["is_tex"].astype(jnp.int32)
+    big_key = jnp.int32(nty * ntx * 2 * spow)
     slot = jnp.arange(s, dtype=jnp.int32)
+    mat_slot = is_tex * spow + slot
     wxf = wx.astype(jnp.float32)
     keys = []
     for e in range(_SEG_K):
@@ -198,7 +212,7 @@ def bin_segments(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
         dx = e - dy * wx
         tile_e = (tymin + dy) * ntx + (txmin + dx)
         valid = small & (e < area)
-        keys.append(jnp.where(valid, tile_e * spow + slot, big_key))
+        keys.append(jnp.where(valid, tile_e * 2 * spow + mat_slot, big_key))
     sorted_keys = jnp.sort(jnp.concatenate(keys))               # (K*S,)
     ids_flat = sorted_keys & (spow - 1)
     seg_rows = max(8, _cdiv(_cdiv(s + 130, 128), 8) * 8)        # DMA window
@@ -208,7 +222,8 @@ def bin_segments(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
                        constant_values=0).reshape(rows, 128)
 
     # Per-tile entry counts via an MXU one-hot contraction (exact in f32),
-    # row-major cumsum for segment starts.
+    # row-major cumsum for segment starts; a second contraction over the
+    # color-only rows gives each tile's color prefix length.
     ty = jnp.arange(nty, dtype=jnp.int32)
     tx = jnp.arange(ntx, dtype=jnp.int32)
     touch_y = ((ty[None, :] >= tymin[:, None]) & (ty[None, :] <= tymax[:, None])
@@ -216,14 +231,19 @@ def bin_segments(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
     touch_x = ((tx[None, :] >= txmin[:, None])
                & (tx[None, :] <= txmax[:, None])).astype(jnp.float32)
     counts = (touch_y.T @ touch_x).reshape(-1).astype(jnp.int32)  # (ntiles,)
+    col_y = touch_y * (1.0 - is_tex.astype(jnp.float32))[:, None]
+    ncol = (col_y.T @ touch_x).reshape(-1).astype(jnp.int32)      # (ntiles,)
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(counts)[:-1]])
 
-    # Broadband: big slots ascending via the same single-key partition.
-    bb_sorted = jnp.sort(jnp.where(big, slot, slot + s)) % s
+    # Broadband: big slots via the same single-key partition, color-first.
+    bb_sorted = jnp.sort(jnp.where(big, mat_slot, 2 * spow + slot))
+    bb_sorted = jnp.where(bb_sorted < 2 * spow, bb_sorted & (spow - 1), 0)
     bb_rows = max(8, _cdiv(_cdiv(s + 3, 128), 8) * 8)
     bb = jnp.pad(bb_sorted, (0, bb_rows * 128 - s)).reshape(bb_rows, 128)
-    return ids_flat, counts, starts, bb, big.sum(dtype=jnp.int32)
+    return (ids_flat, counts, ncol, starts, bb,
+            big.sum(dtype=jnp.int32), (big & ~setup["is_tex"]).sum(
+                dtype=jnp.int32))
 
 
 def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
@@ -307,6 +327,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             n = counts_ref[0, tile]
             seg_start = counts_ref[1, tile]
             bb_n = counts_ref[2, tile]
+            n_col = counts_ref[3, tile]
+            bb_ncol = counts_ref[4, tile]
             dma = pltpu.make_async_copy(
                 ids_in.at[b, pl.ds(seg_start >> 7, seg_rows)],
                 ids_ref, ids_sem)
@@ -512,12 +534,14 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 tri_ref[_TEXBASE, s] >> 9,  # texture base row (index * 512)
             )
 
-        def shade_planes(sc, mask, pxf_, pyf_, inv_, best_):
-            """One entry's per-pixel shade math on planes of ANY strip height
-            (full tile for the flat path, 8-row strips for the segmented
-            path). Returns (flat-packed color, shade factor, texel coordinate
-            planes, textured-winner mask, is_tex scalar)."""
-            w00s, dxs, dys, cvp, npl, atp, tpp, dzv, is_tex, trow = sc
+        def shade_base(sc, pxf_, pyf_, inv_):
+            """The per-pixel shade math BOTH material paths need, on planes of
+            ANY strip height (full tile for the flat path, 8-row strips for
+            the segmented path): barycentric weights, halfway-vector lighting,
+            and the attribute interpolants (colors for flat slots; (u, v)
+            ride the same registers for textured ones). Returns
+            (sh, cr, cg, cb)."""
+            w00s, dxs, dys, cvp, npl, atp = sc[:6]
             w0 = w00s[0] + pxf_ * dxs[0] + pyf_ * dys[0]
             w1 = w00s[1] + pxf_ * dxs[1] + pyf_ * dys[1]
             w2 = w00s[2] + pxf_ * dxs[2] + pyf_ * dys[2]
@@ -539,20 +563,26 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             hx, hy, hz = px_ + nx, py_ + ny, pz_ + nz
             hn = rsqrt3(hx, hy, hz)
             sh = (hx * nx + hy * ny + hz * nz) * hn
-
-            # Flat-color path: interpolate premultiplied color, pack 0x00RRGGBB.
-            # int32 packing (channels are in [0, 255], truncation toward zero
-            # matches the reference's UInt8 cast, render.swift:84-87).
             cr, cg, cb = interp3(atp)
-            packed = (
+            return sh, cr, cg, cb
+
+        def color_pack(sh, cr, cg, cb):
+            """Flat-color path: premultiplied color scaled by the shade
+            factor, packed 0x00RRGGBB. int32 packing (channels are in
+            [0, 255], truncation toward zero matches the reference's UInt8
+            cast, render.swift:84-87)."""
+            return (
                 ((sh * cr).astype(jnp.int32) << 16)
                 | ((sh * cg).astype(jnp.int32) << 8)
                 | (sh * cb).astype(jnp.int32)
             )
 
-            # Texture path: anisotropic ripmap level select (render.swift:94-111).
-            # cr/cg double as the perspective-correct (u, v) mapping.
-            u, v = cr, cg
+        def tex_coord_planes(sc, u, v, best_):
+            """Texture path: anisotropic ripmap level select
+            (render.swift:94-111) + per-pixel texel coordinates for phase 3.
+            (u, v) is the perspective-correct mapping (the attribute
+            interpolants cr/cg)."""
+            tpp, dzv, _, trow = sc[6:]
             lvl_u = best_ / jnp.abs(tpp[0] - u * dzv[0])
             lvl_v = best_ / jnp.abs(tpp[1] - v * dzv[1])
             lu = pow2_level(lvl_u)
@@ -591,19 +621,41 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     tu - xf,
                     tv - yf,
                 )
+            return new
 
+        def shade_planes(sc, mask, pxf_, pyf_, inv_, best_):
+            """Both material paths of one entry (the flat path's per-slot
+            body — the segmented path branches on the is_tex scalar instead
+            and runs only the one that applies). Returns (flat-packed color,
+            shade factor, texel coordinate planes, textured-winner mask,
+            is_tex scalar)."""
+            is_tex = sc[8]
+            sh, cr, cg, cb = shade_base(sc, pxf_, pyf_, inv_)
+            packed = color_pack(sh, cr, cg, cb)
+            new = tex_coord_planes(sc, cr, cg, best_)
             return packed, sh, new, mask & is_tex, is_tex
 
         zf = jnp.zeros((tile_h, tile_w), jnp.float32)
         zi = jnp.zeros((tile_h, tile_w), jnp.int32)
         if segmented:
             # STRIP-SCOPED shading (phase 1's mirror): each entry shades only
-            # the 8-row strips its bbox overlaps, and only after a cheap
-            # bbox-scoped "won anything?" prescan. The running merged planes
+            # the strips its bbox overlaps. The running merged planes
             # live in VMEM scratch refs; pix_ref flips from winner ids to
             # colors here, so the ids are copied to win_ref first. inv_ref
             # caches the once-per-tile perspective divide (1/0 = inf where no
             # winner; every read of it is winner-masked downstream).
+            # Shade strip height: the largest multiple-of-8 divisor of
+            # tile_h <= 32 (8-row granularity must subdivide it so the
+            # visibility strip range converts exactly).
+            shs = max(h for h in range(8, min(tile_h, 32) + 1, 8)
+                      if tile_h % h == 0)
+            sps = shs // 8
+            # Fresh iotas, not pyf[:shs] slices: Mosaic rejects multi-sublane
+            # static slices of the tile-height planes in this position.
+            rowS = jax.lax.broadcasted_iota(jnp.int32, (shs, tile_w), 0)
+            colS = jax.lax.broadcasted_iota(jnp.int32, (shs, tile_w), 1)
+            pyfS = (y_top + rowS).astype(jnp.float32)
+            pxfS = (tx * tile_w + colS).astype(jnp.float32)
             win_ref[...] = pix_ref[0]
             pix_ref[0] = jnp.full((tile_h, tile_w), jnp.int32(background))
             shade_ref[...] = zf
@@ -614,46 +666,75 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             for _pr, _pv in zip(plane_refs, plane_init):
                 _pr[...] = _pv
 
-            def shade_entry(s, c):
+            # UNBRANCHED, MATERIAL-SPECIALIZED entry loops. Each entry reads
+            # its scalars and shades its bbox strips directly — losers write
+            # nothing through their all-false winner masks. An earlier design
+            # prescanned the winner plane and branched (pl.when) into the
+            # shade body; on-chip the TAKEN branch measured ~1 us per entry —
+            # several times the strip math it guarded — so entries are
+            # instead partitioned by material in the binner's sort key and
+            # each loop body is statically one material, with no conditional
+            # anywhere. Shade strips are WIDER than the 8-row visibility
+            # strips (shs rows): the phase is bound by per-strip
+            # dynamic-offset loads/stores + loop bookkeeping, not vector
+            # math, so fewer/fatter strips win.
+            def color_entry(s, c):
                 r0, r1 = strip_range(tri_ref[_YMIN, s], tri_ref[_YMAX, s])
+                sc = read_shade_scalars(s)
 
-                def anyw(r, a):
-                    m = win_ref[pl.ds(r * 8, 8), :] == s
-                    return a | jnp.any(m).astype(jnp.int32)
+                def sstrip(rs, cc):
+                    o = rs * shs
+                    sl = pl.ds(o, shs)
+                    maskS = win_ref[sl, :] == s
+                    sh, cr, cg, cb = shade_base(
+                        sc, pxfS, pyfS + o.astype(jnp.float32),
+                        inv_ref[sl, :])
+                    pix_ref[0, sl, :] = jnp.where(
+                        maskS, color_pack(sh, cr, cg, cb),
+                        pix_ref[0, sl, :])
+                    return cc
 
-                found = jax.lax.fori_loop(r0, r1 + 1, anyw, jnp.int32(0))
-
-                @pl.when(found != 0)
-                def _shade_strips():
-                    sc = read_shade_scalars(s)
-                    is_tex = sc[8]
-
-                    def sstrip(r, cc):
-                        o = r * 8
-                        sl = pl.ds(o, 8)
-                        mask8 = win_ref[sl, :] == s
-                        packed, sh, new, active, _ = shade_planes(
-                            sc, mask8, pxf8, pyf8 + o.astype(jnp.float32),
-                            inv_ref[sl, :], ooz_ref[0, sl, :])
-                        pix_ref[0, sl, :] = jnp.where(
-                            mask8 & ~is_tex, packed, pix_ref[0, sl, :])
-                        shade_ref[sl, :] = jnp.where(
-                            mask8, sh, shade_ref[sl, :])
-                        # Winner masks are disjoint across entries, so each
-                        # pixel's texel coordinates are written exactly once.
-                        for pr, nv in zip(plane_refs, new):
-                            pr[sl, :] = jnp.where(active, nv, pr[sl, :])
-                        return cc
-
-                    jax.lax.fori_loop(r0, r1 + 1, sstrip, 0)
+                jax.lax.fori_loop(r0 // sps, r1 // sps + 1, sstrip, 0)
                 return c
 
+            def tex_entry(s, c):
+                r0, r1 = strip_range(tri_ref[_YMIN, s], tri_ref[_YMAX, s])
+                sc = read_shade_scalars(s)
+
+                def sstrip(rs, cc):
+                    o = rs * shs
+                    sl = pl.ds(o, shs)
+                    maskS = win_ref[sl, :] == s
+                    sh, cr, cg, _ = shade_base(
+                        sc, pxfS, pyfS + o.astype(jnp.float32),
+                        inv_ref[sl, :])
+                    new = tex_coord_planes(sc, cr, cg, ooz_ref[0, sl, :])
+                    shade_ref[sl, :] = jnp.where(maskS, sh, shade_ref[sl, :])
+                    # Winner masks are disjoint across entries, so each
+                    # pixel's texel coordinates are written exactly once.
+                    for pr, nv in zip(plane_refs, new):
+                        pr[sl, :] = jnp.where(maskS, nv, pr[sl, :])
+                    return cc
+
+                jax.lax.fori_loop(r0 // sps, r1 // sps + 1, sstrip, 0)
+                return c
+
+            # Color prefix then textured suffix of each list (the binner
+            # sorts (tile, is_tex, slot)); winner masks are disjoint, so the
+            # walk order is irrelevant to the output.
             jax.lax.fori_loop(
-                0, bb_n,
-                lambda i, c: shade_entry(bb_ref[i >> 7, i & 127], c), 0)
+                0, bb_ncol,
+                lambda i, c: color_entry(bb_ref[i >> 7, i & 127], c), 0)
             jax.lax.fori_loop(
-                0, n,
-                lambda i, c: shade_entry(
+                bb_ncol, bb_n,
+                lambda i, c: tex_entry(bb_ref[i >> 7, i & 127], c), 0)
+            jax.lax.fori_loop(
+                0, n_col,
+                lambda i, c: color_entry(
+                    ids_ref[(off + i) >> 7, (off + i) & 127], c), 0)
+            jax.lax.fori_loop(
+                n_col, n,
+                lambda i, c: tex_entry(
                     ids_ref[(off + i) >> 7, (off + i) & 127], c), 0)
 
             pix = pix_ref[0]
@@ -1125,7 +1206,7 @@ def _rasterize_chunk(
         ids = jnp.pad(ids, ((0, rpad - rows), (0, 0)))
         seg_rows = 0
     else:
-        ids, counts, starts, bb, bb_cnt = jax.vmap(partial(
+        ids, counts, ncol, starts, bb, bb_cnt, bb_ncol = jax.vmap(partial(
             bin_segments, width=width, height=height,
             tile_h=tile_h, tile_w=tile_w, y_offset=y_offset))(setup)
         # Static DMA window covering the in-row offset (<= 127) + the
@@ -1153,11 +1234,15 @@ def _rasterize_chunk(
                          ((0, 0), (0, 7), (0, 0))).reshape(bsz * 8, nty * ntx)
     else:
         # Segmented count table rows: 0 = segment count, 1 = segment start,
-        # 2 = broadband count (broadcast across lanes); padded to 8 rows.
+        # 2 = broadband count, 3 = color prefix length of the segment,
+        # 4 = color prefix length of the broadband list (2/4 broadcast
+        # across lanes); padded to 8 rows.
         ctab = jnp.stack([
             counts, starts,
-            jnp.broadcast_to(bb_cnt[:, None], counts.shape)], axis=1)
-        counts = jnp.pad(ctab, ((0, 0), (0, 5), (0, 0))
+            jnp.broadcast_to(bb_cnt[:, None], counts.shape),
+            ncol,
+            jnp.broadcast_to(bb_ncol[:, None], counts.shape)], axis=1)
+        counts = jnp.pad(ctab, ((0, 0), (0, 3), (0, 0))
                          ).reshape(bsz * 8, nty * ntx)
 
     # Atlas rows (NT*512, 512) int32 in VMEM for the in-kernel fetch; a dummy

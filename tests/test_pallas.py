@@ -100,14 +100,23 @@ def test_bin_segments_partition_matches_touch_sets():
         xmin = rng.integers(-64, w, s); xmax = xmin + rng.integers(0, 300, s)
         ymin = rng.integers(-32, h, s); ymax = ymin + rng.integers(0, 90, s)
         live = rng.random(s) < 0.8
+        is_tex = rng.random(s) < 0.3
         setup = {k: jnp.asarray(v.astype(np.int32)) for k, v in
                  dict(xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax).items()}
         setup["live"] = jnp.asarray(live)
-        ids, counts, starts, bb, bb_cnt = bin_segments(
+        setup["is_tex"] = jnp.asarray(is_tex)
+        ids, counts, ncol, starts, bb, bb_cnt, bb_ncol = bin_segments(
             setup, width=w, height=h, tile_h=tile_h, tile_w=128)
         flat = np.asarray(ids).reshape(-1)
         counts, starts = np.asarray(counts), np.asarray(starts)
+        ncol = np.asarray(ncol)
         bb_list = np.asarray(bb).reshape(-1)[: int(bb_cnt)]
+        # Broadband is partitioned color-first, each half ascending.
+        bcol = bb_list[: int(bb_ncol)]
+        btex = bb_list[int(bb_ncol):]
+        assert not is_tex[bcol].any() and is_tex[btex].all()
+        for half in (bcol, btex):
+            assert np.all(np.diff(half) > 0) or len(half) <= 1
 
         txmin = np.clip(xmin // 128, 0, ntx - 1)
         txmax = np.clip(xmax // 128, 0, ntx - 1)
@@ -117,11 +126,14 @@ def test_bin_segments_partition_matches_touch_sets():
         area = (txmax - txmin + 1) * (tymax - tymin + 1)
         big = set(np.nonzero(vis & (area > _SEG_K))[0])
         assert set(bb_list) == big
-        assert np.all(np.diff(bb_list) > 0) or len(bb_list) <= 1
         for t in range(nty * ntx):
             ty, tx = t // ntx, t % ntx
             seg = flat[starts[t]: starts[t] + counts[t]]
-            assert np.all(np.diff(seg) > 0) or counts[t] <= 1
+            # Material partition: color prefix then textured, each ascending.
+            scol, stex = seg[: ncol[t]], seg[ncol[t]:]
+            assert not is_tex[scol].any() and is_tex[stex].all()
+            for half in (scol, stex):
+                assert np.all(np.diff(half) > 0) or len(half) <= 1
             touching = {s_ for s_ in np.nonzero(vis)[0]
                         if txmin[s_] <= tx <= txmax[s_]
                         and tymin[s_] <= ty <= tymax[s_]}

@@ -30,7 +30,8 @@ def setup_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def probe(scene_name: str, width: int, height: int, frames: int, tile_h: int):
+def probe(scene_name: str, width: int, height: int, frames: int, tile_h: int,
+          objects: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +42,8 @@ def probe(scene_name: str, width: int, height: int, frames: int, tile_h: int):
         bin_segments, bin_triangles, pack_setup_tables, rasterize_pallas)
     from swift3drenderer_tpu.renderer import build_setup, scene_to_device
 
-    scene = SCENES[scene_name](seed=0)
+    kwargs = {"objects": objects} if objects else {}
+    scene = SCENES[scene_name](seed=0, **kwargs)
     dev = scene_to_device(scene)
     cam = Camera()
     mats = np.stack([
@@ -71,10 +73,10 @@ def probe(scene_name: str, width: int, height: int, frames: int, tile_h: int):
                                         tile_h=tile_h, tile_w=128)
             extra = 0.0
         else:
-            ids, counts, starts, bb, bb_cnt = bin_segments(
+            ids, counts, ncol, starts, bb, bb_cnt, bb_ncol = bin_segments(
                 setup, width=width, height=height, tile_h=tile_h, tile_w=128)
-            extra = (starts[::5].sum() + bb[::7, ::13].sum()
-                     + bb_cnt).astype(jnp.float32)
+            extra = (starts[::5].sum() + bb[::7, ::13].sum() + ncol[::3].sum()
+                     + bb_cnt + bb_ncol).astype(jnp.float32)
         trf, tri = pack_setup_tables(setup)
         return (ids[::7, ::13].sum() + counts.sum() + trf[::5, ::11].sum()
                 + tri[::3, ::17].sum().astype(jnp.float32) + extra)
@@ -131,11 +133,14 @@ def main():
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--tile-h", type=int, default=64)
     p.add_argument("--configs", default="1920x1080,3840x2160")
+    p.add_argument("--objects", type=int, default=0,
+                   help="object count for --scene stress (0 = scene default)")
     args = p.parse_args()
     setup_cache()
     for wh in args.configs.split(","):
         w, h = map(int, wh.split("x"))
-        r = probe(args.scene, w, h, args.frames, args.tile_h)
+        r = probe(args.scene, w, h, args.frames, args.tile_h,
+                  objects=args.objects)
         print(f"{args.scene} {w}x{h} tile_h={args.tile_h}: "
               f"frontend {r['frontend']:.3f} | grid {r['grid']:.3f} | "
               f"vis {r['vis']:.3f} | +shade {r['shade']:.3f} | "
