@@ -1559,11 +1559,13 @@ def _rasterize_texture_paged(setup, textures, *, cap, **kw):
 
 def _pick_tile_h(dev, height: int, cap: int) -> int:
     """Adaptive tile height: 128 from 720p up (fewer grid steps once the
-    strip/block fetch made the per-step fixed cost dominant), EXCEPT for
-    multi-pass scenes (slots beyond ``cap``), where 64's finer binning wins
-    (10,083 tris @1080p: 11.7 ms at 64 vs 13.1 at 128, on-chip)."""
-    multipass = 2 * dev["vi"].shape[0] > cap
-    return 128 if height >= 720 and not multipass else 64
+    strip/block fetch made the per-step fixed cost dominant). Multi-pass
+    scenes used to keep 64 (finer binning won when every binned slot
+    evaluated the whole tile: 10,083 tris @1080p measured 11.7 ms at 64 vs
+    13.1 at 128 in round 2) — the segmented strip-scoped front-end made
+    per-entry work follow the bbox instead, flipping the tradeoff (round 3:
+    4.5 ms at 128 vs 5.2 at 72, on-chip)."""
+    return 128 if height >= 720 else 64
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config", "tile_h",
