@@ -59,6 +59,20 @@ def rng():
     return np.random.default_rng(1234)
 
 
+@pytest.fixture(scope="session", autouse=True)
+def build_native():
+    """Build libs3dnative.so once per session, before ANY test runs.
+
+    test_app's elastic-fallback test (and anything else touching the native
+    backend) runs alphabetically before test_native; on a fresh tree the
+    library doesn't exist yet and those tests would fail on ordering alone.
+    A no-op rebuild costs ~50 ms."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["make", "-C", os.path.join(repo, "native")], check=True,
+                   capture_output=True)
+
+
 def pixel_mismatch_fraction(a: np.ndarray, b: np.ndarray, tol: int = 1) -> float:
     """Fraction of pixels whose packed RGB differs by more than ``tol`` in any
     channel. Comparator for golden-frame differential tests."""

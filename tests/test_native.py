@@ -22,9 +22,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="session", autouse=True)
-def build_native():
-    subprocess.run(["make", "-C", os.path.join(REPO, "native")], check=True,
-                   capture_output=True)
+def native_built(build_native):
+    # The build itself runs once in conftest (before ANY module — test_app's
+    # fallback test needs the library too); this just asserts it loads.
     assert native.native_available()
 
 
