@@ -825,10 +825,15 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     raise ValueError(
                         f"strip height {req} does not divide tile_h={tile_h} "
                         f"(check S3D_NEAREST_STRIP_H / S3D_FETCH_STRIP_H)")
-                # The shipped default legalizes to the largest 8-multiple
-                # divisor (strips must tile the block exactly; e.g. tile_h=120
-                # with the default 16 legalizes to 8).
-                sph = max(d for d in range(8, sph + 1, 8) if tile_h % d == 0)
+                # The shipped default legalizes to the 8-multiple divisor of
+                # tile_h NEAREST the default, preferring the larger on ties
+                # (strips must tile the block exactly): tile_h=120 -> 24, not
+                # 8 — on-chip, 120/sph24 measured 0.686 ms @1080p vs 0.79 for
+                # tile 128/sph16 while 8-row strips pay double per-strip fixed
+                # costs (the round-2 ladder: 8 -> 1.13, 16 -> 1.09 ms).
+                sph = min((d for d in range(8, tile_h + 1, 8)
+                           if tile_h % d == 0),
+                          key=lambda d: (abs(d - req), -d))
             zf8 = jnp.zeros((sph, tile_w), jnp.float32)
 
             zi8 = jnp.zeros((sph, tile_w), jnp.int32)
@@ -1564,8 +1569,21 @@ def _pick_tile_h(dev, height: int, cap: int) -> int:
     evaluated the whole tile: 10,083 tris @1080p measured 11.7 ms at 64 vs
     13.1 at 128 in round 2) — the segmented strip-scoped front-end made
     per-entry work follow the bbox instead, flipping the tradeoff (round 3:
-    4.5 ms at 128 vs 5.2 at 72, on-chip)."""
-    return 128 if height >= 720 else 64
+    4.5 ms at 128 vs 5.2 at 72, on-chip).
+
+    EXACT-FIT refinement (round 3, on-chip): when 120 tiles the height with
+    zero padded rows AND 128 would pad noticeably (720/1080: 1080 = 9x120 vs
+    9x128 = 1152 processed rows, 6.7% dead), 120 measured 0.686 ms vs
+    0.793-0.798 at 128 on the 1080p headline (with 24-row fetch strips — see
+    the strip legalization): the padded bottom band ran through every vector
+    phase. 4K keeps 128 (2160 = 18x120, but 17x128 pads only 0.7% — the
+    extra grid step costs more than the padding; measured, see KERNEL.md)."""
+    if height >= 720:
+        pad = -height % 128
+        if height % 120 == 0 and pad * 50 > height:  # >2% padded rows
+            return 120
+        return 128
+    return 64
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config", "tile_h",

@@ -255,9 +255,11 @@ def test_pallas_segmented_matches_resident_bitexact(monkeypatch):
 
 def test_pallas_non_pow2_tile_h_matches_golden():
     # Non-power-of-two tile heights (any multiple of 8) let resolutions tile
-    # exactly (1080 = 9x120 — zero padded rows vs 6.7% waste at 128). The
-    # default 16-row fetch strips don't divide 120, so this also exercises
-    # the strip-height legalization (16 -> 8 at tile_h=120).
+    # exactly (1080 = 9x120 — zero padded rows vs 6.7% waste at 128; the
+    # shipped default at 120-divisible heights since round 3). The default
+    # 16-row fetch strips don't divide 120, so this also exercises the
+    # strip-height legalization (nearest divisor, larger on ties: 16 -> 24
+    # at tile_h=120 — the on-chip-fastest headline config).
     from swift3drenderer_tpu.ops.raster_pallas import rasterize_pallas
 
     scene = default_scene(seed=0)

@@ -29,6 +29,12 @@ VARIANTS = [
     ("seg120/sph24", {"S3D_FORCE_SEGMENTED": "1", "S3D_NEAREST_STRIP_H": "24",
                       "S3D_FETCH_STRIP_H": "24"}, ["--tile-h", "120"]),
     ("tile64", {}, ["--tile-h", "64"]),
+    # 1080 = 9x120 = 5x216 exactly (zero padded rows vs 6.7% at 128); 144
+    # keeps the proven 16-row strips while cutting grid steps 135 -> 120.
+    ("tile144/sph16", {}, ["--tile-h", "144"]),
+    ("tile120/sph8", {}, ["--tile-h", "120"]),
+    ("tile216/sph24", {"S3D_NEAREST_STRIP_H": "24", "S3D_FETCH_STRIP_H": "24"},
+     ["--tile-h", "216"]),
 ]
 
 
