@@ -201,16 +201,42 @@ def main() -> None:
                         "triangle large-scene config in BASELINE.md)")
     p.add_argument("--all-configs", action="store_true",
                    help="print a table over the BASELINE configs instead")
+    p.add_argument("--out", default="bench_all_configs.json",
+                   help="JSON artifact path for --all-configs results")
     args = p.parse_args()
 
     if args.all_configs:
+        rows = []
         for name, w, h in [("tetrahedron", 640, 480), ("icosahedron", 1920, 1080),
                            ("anisotropic", 1920, 1080), ("clipping", 1920, 1080),
                            ("default", 3840, 2160)]:
             r = measure(name, w, h, args.frames, args.backend)
-            note = "  (overhead-bound)" if r.get("overhead_bound") else ""
+            batch = 1
+            if r.get("overhead_bound") and args.backend == "pallas":
+                # Tiny frames sit below the single-dispatch noise floor; the
+                # SERVING path (8 cameras per kernel dispatch) amortizes the
+                # dispatch and gives the config a real measured figure
+                # (BASELINE.md serving table) instead of "overhead-bound".
+                batch = 8
+                r = measure(name, w, h, args.frames, args.backend, batch=8)
+            rows.append({
+                "config": name, "width": w, "height": h, "batch": batch,
+                "frame_ms": round(r["frame_ms"], 3),
+                "fps": round(r["fps"], 1),
+                "Mpix_per_s": round(r["pixels"] * r["fps"] / 1e6, 1),
+                "Mtri_per_s": round(r["tris"] * r["fps"] / 1e6, 3),
+                "triangles": r["tris"],
+                "overhead_bound": bool(r.get("overhead_bound", False)),
+            })
+            note = "  (serving B=8)" if batch > 1 else ""
+            note += "  (overhead-bound)" if r.get("overhead_bound") else ""
             print(f"{name:14s} {w}x{h}: {r['frame_ms']:8.2f} ms  "
                   f"{r['fps']:8.1f} fps  ({r['tris']} tris){note}")
+        with open(args.out, "w") as f:
+            json.dump({"backend": args.backend, "frames": args.frames,
+                       "cpu_baseline_fps_headline": CPU_BASELINE_FPS,
+                       "rows": rows}, f, indent=2)
+        print(f"wrote {args.out}")
         return
 
     r = measure(args.scene, args.width, args.height, args.frames, args.backend,
@@ -226,6 +252,7 @@ def main() -> None:
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "extra": {"frame_ms": round(r["frame_ms"], 3),
                   "Mpix_per_s": round(mpix, 1),
+                  "Mtri_per_s": round(r["tris"] * r["fps"] / 1e6, 3),
                   "triangles": r["tris"],
                   **({"batch": args.batch} if args.batch > 1 else {})},
     }))

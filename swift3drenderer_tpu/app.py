@@ -40,7 +40,9 @@ class FrameLoop:
                  config: RenderConfig = DEFAULT_CONFIG, backend: str = "xla",
                  stats: Optional[FrameStats] = None,
                  fallback_backend: Optional[str] = None,
-                 bucketed: bool = False) -> None:
+                 bucketed: bool = False,
+                 primary_retry_after: float = 5.0,
+                 clock=time.monotonic) -> None:
         self._scene = scene
         # bucketed: compile per resolution BUCKET so a live drag-resize never
         # stalls on per-size recompiles (reference main.swift:156-165 keeps
@@ -61,9 +63,19 @@ class FrameLoop:
         # Failure detection / elastic recovery (absent in the reference, which
         # fatalError()s — SURVEY.md section 5): when a device render raises
         # (e.g. the accelerator worker crashed or the tunnel dropped), rebuild
-        # on the fallback backend and keep the frame loop alive.
+        # on the fallback backend and keep the frame loop alive. Recovery is
+        # TWO-WAY: device losses are often transient (a tunnel flap, a worker
+        # restart — see bench.py's retry rationale), so after
+        # ``primary_retry_after`` seconds the loop probes the primary again
+        # with exponential backoff (cap 60 s) until it heals; a later failure
+        # fails over again. ``clock`` is injectable for tests.
         self.fallback_backend = fallback_backend
         self.failed_over = False
+        self._primary_backend = backend
+        self._retry_after = primary_retry_after
+        self._backoff = primary_retry_after
+        self._retry_at = 0.0
+        self._clock = clock
 
     def resize(self, width: int, height: int) -> None:
         """Live resize (reference main.swift:156-165): new dimensions take effect
@@ -83,19 +95,7 @@ class FrameLoop:
         t0 = time.perf_counter()
         m = self.camera.update(inp, force_update=self._first)
         self._first = False
-        try:
-            pixels, _ = self.renderer.render(m, self.width, self.height,
-                                             bucketed=self.bucketed)
-        except Exception as exc:  # noqa: BLE001 — device loss is not typed
-            if self.fallback_backend is None or self.failed_over:
-                raise
-            print(f"render backend '{self.renderer.backend}' failed "
-                  f"({type(exc).__name__}); falling back to "
-                  f"'{self.fallback_backend}'", file=sys.stderr)
-            self.renderer = Renderer(self._scene, config=self.renderer.config,
-                                     backend=self.fallback_backend)
-            self.failed_over = True
-            pixels, _ = self.renderer.render(m, self.width, self.height)
+        pixels = self._render_healing(m)
         # Double buffer: copy into the alternating host buffer.
         buf = self._buffers[self._buffer_index]
         if buf is None or buf.shape != pixels.shape:
@@ -106,6 +106,49 @@ class FrameLoop:
         self.stats.add_frame(time.perf_counter() - t0)
         self.frame_index += 1
         return buf
+
+    def _render_healing(self, m) -> np.ndarray:
+        """Render with elastic failover in BOTH directions: primary failure
+        falls back (once per failure, re-entrantly); while failed over, the
+        primary is re-probed with exponential backoff and the loop returns to
+        it when it heals."""
+        if self.failed_over and self._clock() >= self._retry_at:
+            try:
+                cand = Renderer(self._scene, config=self.renderer.config,
+                                backend=self._primary_backend)
+                pixels, _ = cand.render(m, self.width, self.height,
+                                        bucketed=self.bucketed)
+                self.renderer = cand
+                self.failed_over = False
+                self._backoff = self._retry_after
+                print(f"primary backend '{self._primary_backend}' healed; "
+                      f"resuming from '{self.fallback_backend}'",
+                      file=sys.stderr)
+                return pixels
+            except Exception as exc:  # noqa: BLE001 — still down; back off
+                self._backoff = min(self._backoff * 2, 60.0)
+                self._retry_at = self._clock() + self._backoff
+                print(f"primary backend '{self._primary_backend}' still "
+                      f"failing ({type(exc).__name__}); next retry in "
+                      f"{self._backoff:.0f}s", file=sys.stderr)
+        try:
+            pixels, _ = self.renderer.render(m, self.width, self.height,
+                                             bucketed=self.bucketed)
+            return pixels
+        except Exception as exc:  # noqa: BLE001 — device loss is not typed
+            if (self.fallback_backend is None
+                    or self.renderer.backend == self.fallback_backend):
+                raise
+            print(f"render backend '{self.renderer.backend}' failed "
+                  f"({type(exc).__name__}); falling back to "
+                  f"'{self.fallback_backend}'", file=sys.stderr)
+            self.renderer = Renderer(self._scene, config=self.renderer.config,
+                                     backend=self.fallback_backend)
+            self.failed_over = True
+            self._backoff = self._retry_after
+            self._retry_at = self._clock() + self._backoff
+            pixels, _ = self.renderer.render(m, self.width, self.height)
+            return pixels
 
     # -- checkpoint / resume -------------------------------------------------
     def save_checkpoint(self, path: str) -> None:

@@ -1223,7 +1223,12 @@ def _rasterize_chunk(
         bb = bb.reshape(bsz * bb_rows, 128)
     track_ids = gids is not None
     y0 = jnp.asarray(y_offset, jnp.int32).reshape(1, 1)
-    trf, tri = jax.vmap(lambda st: pack_setup_tables(st, gids))(setup)  # (B, R, S)
+    if track_ids and gids.ndim == 2:
+        # Per-frame global ids (the compacted sharded path permutes slots
+        # independently per frame).
+        trf, tri = jax.vmap(pack_setup_tables)(setup, gids)     # (B, R, S)
+    else:
+        trf, tri = jax.vmap(lambda st: pack_setup_tables(st, gids))(setup)
     # Windowed (non-full) SMEM blocks need 8-aligned rows on TPU: pad each
     # frame's tables to 8-row multiples so a (rows, S) block of the flattened
     # (B*rows, S) array selects frame b by block index — the kernel body stays
@@ -1398,6 +1403,99 @@ def rasterize_pallas_batch(
         phases=phases)
 
 
+def _live_compact(setup, gids=None):
+    """Live-first slot compaction prep, shared by the non-spatial multipass
+    and the triangle-sharded path.
+
+    One single-key i32 sort yields a stable live-first permutation; the slot
+    data rides along via two ``jnp.take_along_axis`` gathers of packed
+    (B, S, 43) f32 / (B, S, 7|8) i32 matrices — measured ~0.25 ms total at
+    S=20166 on chip (the sort dominates; the takes are near-free). An earlier
+    full-table 41-array gather formulation measured 8% SLOWER overall —
+    packing into ONE take per dtype is what makes it cheap.
+
+    Exactness: the permutation is monotone on live slots, so ascending local
+    ids within and across chunks == ascending global ids, and the strict
+    ``o > ooz`` pass merge preserves the reference's earlier-triangle
+    depth-tie order (render.swift:324) exactly as an uncompacted split would;
+    dead slots never bin, so dropping them cannot change winners.
+
+    Returns ``(chunk_setup, nlive_max)``: ``chunk_setup(c0, cap)``
+    materializes (setup slice, global-id slice or None) for the compacted
+    slot range [c0, c0+cap). ``gids`` (S,) opts into carrying each slot's
+    global id through the permutation (the sharded cross-device merge key).
+    """
+    bsz, s = setup["live"].shape
+    idx = jnp.arange(s, dtype=jnp.int32)[None, :]
+    perm = jnp.sort(jnp.where(setup["live"], idx, idx + s), axis=-1) % s
+    nlive_max = setup["live"].sum(axis=-1, dtype=jnp.int32).max()
+    f32_keys = [("w00", 3), ("dx", 3), ("dy", 3), ("rvz", 3),
+                ("cvp", 9), ("np", 9), ("attrp", 9),
+                ("tpp", 2), ("dzv", 2)]
+    i32_keys = ["xmin", "xmax", "ymin", "ymax", "tex"]
+    fmat = jnp.concatenate(
+        [setup[k].reshape(bsz, s, -1) for k, _ in f32_keys],
+        axis=-1)                                        # (B, S, 43) f32
+    icols = ([setup[k] for k in i32_keys]
+             + [setup["is_tex"].astype(jnp.int32),
+                setup["live"].astype(jnp.int32)])
+    if gids is not None:
+        icols.append(jnp.broadcast_to(
+            jnp.asarray(gids, jnp.int32)[None], (bsz, s)))
+    imat = jnp.stack(icols, axis=-1)                    # (B, S, 7|8) i32
+
+    def chunk_setup(c0, cap):
+        sel = perm[:, c0: c0 + cap, None]   # (B, <=cap, 1); the last
+        f = jnp.take_along_axis(fmat, sel, axis=1)  # chunk may be short
+        i = jnp.take_along_axis(imat, sel, axis=1)
+        sub, o = {}, 0
+        for k, w in f32_keys:
+            sub[k] = f[:, :, o: o + w].reshape(
+                (bsz, sel.shape[1]) + setup[k].shape[2:])
+            o += w
+        for j, k in enumerate(i32_keys):
+            sub[k] = i[:, :, j]
+        sub["is_tex"] = i[:, :, 5].astype(bool)
+        sub["live"] = i[:, :, 6].astype(bool)
+        return sub, (i[:, :, 7] if gids is not None else None)
+
+    return chunk_setup, nlive_max
+
+
+def _rasterize_compacted_ids(setup, textures, *, gids, cap, **kw):
+    """Live-first compacted multipass that tracks winners' GLOBAL ids.
+
+    The triangle-sharded scene-parallel path (parallel/sharding.py): same
+    compaction + cond-skipped trailing chunks as the non-spatial multipass,
+    but every pass outputs its winners' global setup ids (track_ids) and
+    passes merge by (max 1/z, then min gid) — the exact-tie reference order
+    across any chunk split AND the key the cross-device composite needs.
+    Returns (pix (B,H,W), ooz (B,H,W), gid (B,H,W)); gid == 2**30 where a
+    pixel has no winner."""
+    bsz, s = setup["live"].shape
+    if s <= cap:
+        # Single pass — nothing to skip, so don't pay the compaction sort.
+        pix, ooz, gid = _rasterize_chunk(
+            setup, textures, gids=jnp.asarray(gids, jnp.int32), **kw)
+        return pix, ooz, jnp.where(ooz > 0, gid, jnp.int32(2 ** 30))
+    chunk_setup, nlive_max = _live_compact(setup, gids)
+    sub, g = chunk_setup(0, cap)
+    pix, ooz, gid = _rasterize_chunk(sub, textures, gids=g, **kw)
+    gid = jnp.where(ooz > 0, gid, jnp.int32(2 ** 30))
+    for c0 in range(cap, s, cap):
+        def run(pix, ooz, gid, c0=c0):
+            sub, g = chunk_setup(c0, cap)
+            p, o, gg = _rasterize_chunk(sub, textures, gids=g, **kw)
+            gg = jnp.where(o > 0, gg, jnp.int32(2 ** 30))
+            upd = (o > ooz) | ((o == ooz) & (o > 0) & (gg < gid))
+            return (jnp.where(upd, p, pix), jnp.where(upd, o, ooz),
+                    jnp.where(upd, gg, gid))
+        pix, ooz, gid = jax.lax.cond(
+            c0 < nlive_max, run,
+            lambda pix, ooz, gid: (pix, ooz, gid), pix, ooz, gid)
+    return pix, ooz, gid
+
+
 def _rasterize_multipass(setup, textures, spatial=False, cap_override=None,
                          **kw):
     bsz, s = setup["live"].shape
@@ -1419,54 +1517,14 @@ def _rasterize_multipass(setup, textures, spatial=False, cap_override=None,
         # most of the field, and the clip-headroom half is dead by
         # construction) renders in ONE pass instead of three. Trailing
         # chunks guard behind lax.cond on the live count, skipping their
-        # GATHER, binning sort AND kernel grid at runtime. The slot data
-        # rides along via two jnp.take gathers of packed (B, S, 43)f32 /
-        # (B, S, 7)i32 matrices — measured ~0.25 ms total at S=20166 on
-        # chip (the sort dominates; the takes are near-free), vs ~1 ms of
-        # grid + per-chunk front-end per pass saved. (An earlier full-table
-        # 41-array gather formulation measured 8% slower overall — packing
-        # into ONE take per dtype is what makes it cheap.)
-        #
-        # Exactness: the permutation is monotone on live slots, so ascending
-        # local ids within and across chunks == ascending global ids, and
-        # the strict `o > ooz` pass merge preserves the reference's
-        # earlier-triangle depth-tie order (render.swift:324) exactly as the
-        # uncompacted split did; dead slots never bin, so dropping them
-        # cannot change winners.
-        idx = jnp.arange(s, dtype=jnp.int32)[None, :]
-        perm = jnp.sort(jnp.where(setup["live"], idx, idx + s), axis=-1) % s
-        nlive_max = setup["live"].sum(axis=-1, dtype=jnp.int32).max()
-        f32_keys = [("w00", 3), ("dx", 3), ("dy", 3), ("rvz", 3),
-                    ("cvp", 9), ("np", 9), ("attrp", 9),
-                    ("tpp", 2), ("dzv", 2)]
-        i32_keys = ["xmin", "xmax", "ymin", "ymax", "tex"]
-        fmat = jnp.concatenate(
-            [setup[k].reshape(bsz, s, -1) for k, _ in f32_keys],
-            axis=-1)                                        # (B, S, 43) f32
-        imat = jnp.stack(
-            [setup[k] for k in i32_keys]
-            + [setup["is_tex"].astype(jnp.int32),
-               setup["live"].astype(jnp.int32)], axis=-1)   # (B, S, 7) i32
-
-        def chunk_setup(c0):
-            sel = perm[:, c0: c0 + cap, None]   # (B, <=cap, 1); the last
-            f = jnp.take_along_axis(fmat, sel, axis=1)  # chunk may be short
-            i = jnp.take_along_axis(imat, sel, axis=1)
-            sub, o = {}, 0
-            for k, w in f32_keys:
-                sub[k] = f[:, :, o: o + w].reshape(
-                    (bsz, sel.shape[1]) + setup[k].shape[2:])
-                o += w
-            for j, k in enumerate(i32_keys):
-                sub[k] = i[:, :, j]
-            sub["is_tex"] = i[:, :, 5].astype(bool)
-            sub["live"] = i[:, :, 6].astype(bool)
-            return sub
-
-        pix, ooz = _rasterize_chunk(chunk_setup(0), textures, **kw)
+        # GATHER, binning sort AND kernel grid at runtime. (Cost/exactness
+        # notes: _live_compact.)
+        chunk_setup, nlive_max = _live_compact(setup)
+        pix, ooz = _rasterize_chunk(chunk_setup(0, cap)[0], textures, **kw)
         for c0 in range(cap, s, cap):
             def run(pix, ooz, c0=c0):
-                p, o = _rasterize_chunk(chunk_setup(c0), textures, **kw)
+                p, o = _rasterize_chunk(chunk_setup(c0, cap)[0], textures,
+                                        **kw)
                 upd = o > ooz
                 return jnp.where(upd, p, pix), jnp.where(upd, o, ooz)
             pix, ooz = jax.lax.cond(
@@ -1601,14 +1659,12 @@ def render_frame_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full frame: geometry front-end + Pallas visibility/shading + texel fetch.
 
-    ``tile_h=None`` picks per resolution: 128 from 720p up, 64 below. Taller
-    tiles mean fewer grid steps; once the texel fetch was restructured to
-    strip/block form (round 2) the grid fixed cost dominates and 128 wins at
-    every non-tiny size (measured 1080p 1.23 -> 0.78 ms, 720p 0.74 -> 0.57 ms,
-    2160p 3.78 -> 3.54 ms; 640x480 stays marginally faster at 64). Exception:
-    multi-pass scenes (slots beyond the SMEM cap) keep 64 — with thousands of
-    small triangles the finer binning outweighs the grid cost (10,083 tris
-    @1080p: 11.7 ms at 64 vs 13.1 at 128, on-chip).
+    ``tile_h=None`` defers to ``_pick_tile_h`` (the single source of truth):
+    64 below 720p, otherwise 128 — refined to 120 when 120 tiles the height
+    exactly AND 128 would pad >2% dead rows (720/1080/1440: 1080 = 9x120 vs
+    9x128 = 1152 processed rows; 120 measured 0.686 ms vs 0.79 at 128 on the
+    1080p headline). Multi-pass scenes use the same rule since round 3 (the
+    strip-scoped kernel decoupled per-entry work from tile height).
 
     Scenes whose texture set exceeds the kernel's VMEM atlas budget render in
     texture pages (_rasterize_texture_paged) — still fully in-kernel, ~npages

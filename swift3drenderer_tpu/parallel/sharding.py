@@ -146,7 +146,8 @@ def render_scene_sharded(
     across shards — so any reduction order yields bit-identical pixels; the
     non-power-of-two fallback keeps the gather+scan form.
     """
-    from ..ops.raster_pallas import _rasterize_multipass
+    from ..ops.raster_pallas import (
+        MAX_SLOTS_PER_PASS_B1, _pick_tile_h, _rasterize_compacted_ids)
 
     n = mesh.devices.size
     axes = tuple(mesh.axis_names)
@@ -169,9 +170,18 @@ def render_scene_sharded(
         gids = lo + jnp.arange(local, dtype=jnp.int32)
         batched = jax.tree.map(lambda a: a[None], sub)
         if backend == "pallas":
-            pix, ooz, gid = _rasterize_chunked_ids(
-                batched, dev_rep["textures"], gids=gids, width=width,
-                height=height, config=config, interpret=interpret)
+            # Kernel-parity path: the same live-first compaction, cond-skipped
+            # trailing chunks and adaptive tile height as the single-device
+            # multipass — each pass additionally tracks winners' GLOBAL ids
+            # for the cross-device composite below.
+            pix, ooz, gid = _rasterize_compacted_ids(
+                batched, dev_rep["textures"], gids=gids,
+                cap=MAX_SLOTS_PER_PASS_B1, width=width, height=height,
+                background=config.background_packed,
+                tile_h=_pick_tile_h(dev_rep, height, MAX_SLOTS_PER_PASS_B1),
+                tile_w=128, y_offset=0, interpret=interpret,
+                sampling=config.sampling)
+            pix, ooz, gid = pix[0], ooz[0], gid[0]
         else:
             from ..ops.raster_xla import rasterize
 
@@ -242,35 +252,6 @@ def _butterfly_merge(pix, ooz, gid, axes, mesh):
             ooz = jnp.where(upd, oooz, ooz)
             gid = jnp.where(upd, ogid, gid)
             k *= 2
-    return pix, ooz, gid
-
-
-def _rasterize_chunked_ids(batched, textures, *, gids, width, height, config,
-                           interpret):
-    """Multipass over a local slot range, keeping winner ids for the
-    cross-device merge. Returns (pix (H,W), ooz (H,W), gid (H,W))."""
-    from ..ops.raster_pallas import MAX_SLOTS_PER_PASS_B1, _rasterize_chunk
-
-    s = batched["live"].shape[1]
-    pix = ooz = gid = None
-    for c0 in range(0, s, MAX_SLOTS_PER_PASS_B1):
-        sub = {k: v[:, c0: c0 + MAX_SLOTS_PER_PASS_B1]
-               for k, v in batched.items()}
-        g = jax.lax.dynamic_slice_in_dim(
-            gids, c0, min(MAX_SLOTS_PER_PASS_B1, s - c0), axis=0)
-        p, o, gg = _rasterize_chunk(
-            sub, textures, gids=g, width=width, height=height,
-            background=config.background_packed, tile_h=64, tile_w=128,
-            y_offset=0, interpret=interpret, sampling=config.sampling)
-        p, o, gg = p[0], o[0], gg[0]
-        gg = jnp.where(o > 0, gg, 2 ** 30)
-        if pix is None:
-            pix, ooz, gid = p, o, gg
-        else:
-            upd = (o > ooz) | ((o == ooz) & (o > 0) & (gg < gid))
-            pix = jnp.where(upd, p, pix)
-            ooz = jnp.where(upd, o, ooz)
-            gid = jnp.where(upd, gg, gid)
     return pix, ooz, gid
 
 

@@ -66,11 +66,29 @@ def build_native():
     test_app's elastic-fallback test (and anything else touching the native
     backend) runs alphabetically before test_native; on a fresh tree the
     library doesn't exist yet and those tests would fail on ordering alone.
-    A no-op rebuild costs ~50 ms."""
+    A no-op rebuild costs ~50 ms. On machines without the C toolchain the
+    build failure is recorded instead of hard-failing the whole session:
+    only tests that actually load the native library skip (via the
+    ``native_lib`` fixture); the rest of the suite still runs."""
     import subprocess
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run(["make", "-C", os.path.join(repo, "native")], check=True,
-                   capture_output=True)
+    try:
+        subprocess.run(["make", "-C", os.path.join(repo, "native")],
+                       check=True, capture_output=True)
+    except (subprocess.CalledProcessError, OSError) as e:
+        detail = getattr(e, "stderr", b"") or b""
+        _NATIVE_BUILD_ERROR.append(
+            f"native build failed: {e} {detail.decode(errors='replace')[-500:]}")
+
+
+_NATIVE_BUILD_ERROR: list = []
+
+
+@pytest.fixture()
+def native_lib():
+    """Skip the requesting test when libs3dnative.so could not be built."""
+    if _NATIVE_BUILD_ERROR:
+        pytest.skip(_NATIVE_BUILD_ERROR[0])
 
 
 def pixel_mismatch_fraction(a: np.ndarray, b: np.ndarray, tol: int = 1) -> float:

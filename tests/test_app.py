@@ -109,7 +109,7 @@ def test_datagen_atlas_cli(tmp_path):
     assert np.all(atlas[0, 0] == 77)
 
 
-def test_elastic_fallback_to_native_backend(monkeypatch):
+def test_elastic_fallback_to_native_backend(monkeypatch, native_lib):
     # Failure detection / recovery: a dying device backend fails over to the
     # configured fallback and the frame loop keeps producing frames.
     from swift3drenderer_tpu.renderer import Renderer
@@ -127,6 +127,73 @@ def test_elastic_fallback_to_native_backend(monkeypatch):
     assert (px == ok).mean() > 0.99  # same frame content from the fallback
     loop.step()  # keeps running on the fallback
     assert loop.frame_index == 3
+
+
+def test_elastic_failover_heals_and_survives_second_failure(monkeypatch,
+                                                            native_lib):
+    # Two-way recovery (round 4): after a failover the loop probes the
+    # primary with backoff, returns to it when it heals, and a LATER failure
+    # fails over again — fail -> recover -> fail, three backend transitions.
+    clock = [0.0]
+    loop = FrameLoop(tetrahedron_scene(seed=0), 64, 48, backend="xla",
+                     fallback_backend="native", primary_retry_after=5.0,
+                     clock=lambda: clock[0])
+    ok = loop.step()
+
+    def boom(*a, **k):
+        raise RuntimeError("TPU worker process crashed or restarted")
+
+    monkeypatch.setattr(loop.renderer, "render", boom)
+    loop.step()
+    assert loop.failed_over and loop.renderer.backend == "native"
+    clock[0] = 4.0  # before the backoff expires: stays on the fallback
+    loop.step()
+    assert loop.failed_over and loop.renderer.backend == "native"
+    clock[0] = 6.0  # backoff expired: a fresh primary Renderer works -> heal
+    px = loop.step()
+    assert not loop.failed_over and loop.renderer.backend == "xla"
+    assert (px == ok).mean() > 0.99
+    monkeypatch.setattr(loop.renderer, "render", boom)  # second failure
+    px2 = loop.step()
+    assert loop.failed_over and loop.renderer.backend == "native"
+    assert px2.shape == ok.shape
+    assert loop.frame_index == 5
+
+
+def test_elastic_failover_retry_backoff_doubles(monkeypatch, native_lib):
+    # While the primary stays down, failed probes double the backoff (no
+    # probe storm against a flapping device).
+    import swift3drenderer_tpu.app as app_mod
+
+    clock = [0.0]
+    loop = FrameLoop(tetrahedron_scene(seed=0), 64, 48, backend="xla",
+                     fallback_backend="native", primary_retry_after=2.0,
+                     clock=lambda: clock[0])
+    loop.step()
+
+    def boom(*a, **k):
+        raise RuntimeError("device lost")
+
+    monkeypatch.setattr(loop.renderer, "render", boom)
+    loop.step()  # failover at t=0 -> first retry no earlier than t=2
+    probes = []
+    real_renderer = app_mod.Renderer
+
+    def still_down(*a, **k):
+        probes.append(k.get("backend"))
+        raise RuntimeError("still down")
+
+    monkeypatch.setattr(app_mod, "Renderer", still_down)
+    clock[0] = 2.5
+    loop.step()  # probe fails -> backoff doubles to 4 (next retry t>=6.5)
+    assert loop.failed_over and probes == ["xla"]
+    clock[0] = 5.0
+    loop.step()  # inside the doubled backoff: no probe
+    assert probes == ["xla"]
+    clock[0] = 7.0
+    monkeypatch.setattr(app_mod, "Renderer", real_renderer)
+    loop.step()
+    assert not loop.failed_over and loop.renderer.backend == "xla"
 
 
 def test_terminal_input_parser():

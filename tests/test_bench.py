@@ -28,6 +28,35 @@ def test_measure_batch():
     assert r["frame_ms"] > 0
 
 
+@pytest.mark.quick
+def test_all_configs_writes_json_artifact(tmp_path, monkeypatch, capsys):
+    # --all-configs must write a machine-readable artifact with the full
+    # BASELINE metric set (fps, Mpix/s, Mtri/s) and report overhead-bound
+    # tiny configs via the serving path instead of a placeholder.
+    calls = []
+
+    def fake_measure(name, w, h, frames, backend, batch=1, **kw):
+        calls.append((name, batch))
+        overhead = name == "tetrahedron" and batch == 1
+        return dict(frame_ms=1.0, fps=1000.0, overhead_bound=overhead,
+                    tris=51, pixels=w * h)
+
+    monkeypatch.setattr(bench, "measure", fake_measure)
+    monkeypatch.setattr(bench, "_require_backend", lambda *a: None)
+    out = tmp_path / "all.json"
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--all-configs", "--out", str(out)])
+    bench.main()
+    import json
+    data = json.loads(out.read_text())
+    assert len(data["rows"]) == 5
+    tet = data["rows"][0]
+    assert tet["config"] == "tetrahedron" and tet["batch"] == 8
+    assert ("tetrahedron", 8) in calls  # re-measured through serving
+    for row in data["rows"]:
+        assert {"fps", "Mpix_per_s", "Mtri_per_s", "frame_ms"} <= set(row)
+
+
 # Script used to exercise _require_backend's tunnel-flap handling without
 # touching any real backend: a fake `jax` module raises the observed fast
 # UNAVAILABLE error until the sentinel file exists (i.e. on the first exec),

@@ -24,8 +24,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.fixture(scope="session", autouse=True)
 def native_built(build_native):
     # The build itself runs once in conftest (before ANY module — test_app's
-    # fallback test needs the library too); this just asserts it loads.
-    assert native.native_available()
+    # fallback test needs the library too); on machines without the C
+    # toolchain the whole module skips instead of failing.
+    if not native.native_available():
+        pytest.skip("native library not built (no C toolchain?)")
 
 
 def identity_camera():

@@ -164,6 +164,34 @@ def test_triangle_sharded_multipass_shards():
     np.testing.assert_array_equal(np.asarray(px), single_px)
 
 
+def test_triangle_sharded_10k_kernel_parity_bit_exact():
+    # Round-4 kernel parity for the triangle-sharded path: each shard now
+    # runs the SAME machinery as the single-device multipass (live-first
+    # compaction, cond-skipped trailing chunks, adaptive tile_h) while
+    # tracking global winner ids. A 10,083-triangle scene across 4 shards
+    # (5,042 slots/shard -> 2 chunks each, trailing chunk runtime-skipped
+    # when the live count allows) must stay bit-identical to the
+    # single-device multipass render — depth plane included.
+    import jax.numpy as jnp
+    from swift3drenderer_tpu.models import stress_scene
+    from swift3drenderer_tpu.ops.raster_pallas import MAX_SLOTS_PER_PASS_B1
+    from swift3drenderer_tpu.parallel.sharding import render_scene_sharded
+    from swift3drenderer_tpu.renderer import Renderer, scene_to_device
+
+    scene = stress_scene(seed=0, objects=840)
+    assert scene.num_triangles > 10_000
+    mesh = make_mesh(n_frame=1, n_fb=4)
+    assert 2 * scene.num_triangles // 4 > MAX_SLOTS_PER_PASS_B1
+    m = _cameras(1)[0]
+    dev = scene_to_device(scene)
+    px, depth = render_scene_sharded(
+        dev, jnp.asarray(m, jnp.float32), width=160, height=120, mesh=mesh,
+        backend="pallas", interpret=True)
+    single_px, single_d = Renderer(scene, backend="pallas").render(m, 160, 120)
+    np.testing.assert_array_equal(np.asarray(px), single_px)
+    np.testing.assert_array_equal(np.asarray(depth), single_d)
+
+
 def test_triangle_sharded_xla_matches_golden():
     from swift3drenderer_tpu.parallel.sharding import render_scene_sharded
 

@@ -21,8 +21,10 @@ import sys
 VARIANTS = [
     # (name, env overrides, extra bench args)
     ("default(128)", {}, []),
-    # NB: 16-row strips don't divide 120 and legalize to 8 (slower per the
-    # KERNEL.md ledger) — pair tile_h=120 with 24-row strips for a fair trial.
+    # NB: the default 16-row strips don't divide 120; the nearest-divisor
+    # legalization rounds them to 24 there (ties prefer larger) — the sph24
+    # and sph8 variants below pin their strip heights EXPLICITLY so each
+    # label matches the config that actually runs.
     ("tile120/sph24", {"S3D_NEAREST_STRIP_H": "24", "S3D_FETCH_STRIP_H": "24"},
      ["--tile-h", "120"]),
     ("seg128", {"S3D_FORCE_SEGMENTED": "1"}, []),
@@ -32,7 +34,8 @@ VARIANTS = [
     # 1080 = 9x120 = 5x216 exactly (zero padded rows vs 6.7% at 128); 144
     # keeps the proven 16-row strips while cutting grid steps 135 -> 120.
     ("tile144/sph16", {}, ["--tile-h", "144"]),
-    ("tile120/sph8", {}, ["--tile-h", "120"]),
+    ("tile120/sph8", {"S3D_NEAREST_STRIP_H": "8", "S3D_FETCH_STRIP_H": "8"},
+     ["--tile-h", "120"]),
     ("tile216/sph24", {"S3D_NEAREST_STRIP_H": "24", "S3D_FETCH_STRIP_H": "24"},
      ["--tile-h", "216"]),
 ]
