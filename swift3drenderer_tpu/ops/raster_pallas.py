@@ -249,7 +249,8 @@ def bin_segments(setup: Dict[str, jnp.ndarray], *, width: int, height: int,
 def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                    bilinear: bool = False, phases: str = "full",
                    track_ids: bool = False, ids_resident: bool = False,
-                   segmented: bool = False, seg_rows: int = 0):
+                   segmented: bool = False, seg_rows: int = 0,
+                   streamed: bool = False, ncmax: int = 0):
     """Kernel factory: visibility + in-kernel shading and texture fetch per tile.
 
     ``phases`` is a timing instrument (tools/perf_probe.py): "vis" stops after
@@ -272,9 +273,22 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
     strict-> over ascending ids, reassociated; bit-identical winners).
     counts_ref rows: 0 = segment count, 1 = segment start, 2 = broadband
     count (same value in every lane).
+
+    ``streamed`` (round 4, implies segmented + track_ids): the multipass
+    chunk axis rides the grid as a DYNAMIC innermost dimension
+    (B, nty, ntx, nc_live) instead of separate kernel launches — ONE launch
+    for any scene size, passes follow the frame's live count with no
+    cond-chain, and the output blocks stay VMEM-resident across chunk steps
+    (no per-pass full-frame HBM merge traffic). Per-chunk SMEM table windows
+    are selected by block index maps on the chunk axis (double-buffered by
+    the pipeline); the winner plane is the GLOBAL-id output (gid_ref) —
+    local slot ids collide across chunks, so visibility ties and shade masks
+    key on gids. ``ncmax`` is the static chunk capacity (the padded table's
+    chunk count) used for flattened per-(b, c) indexing.
     """
     assert tile_w == 128 and tile_h % 8 == 0 and 8 <= tile_h <= 256, \
         "in-kernel texel fetch assumes 128-lane tiles of whole 8-row strips"
+    assert not streamed or (segmented and track_ids and ncmax > 0)
 
     def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_in, *rest):
         if segmented:
@@ -299,14 +313,22 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             if segmented:
                 # Strip-scoped shading scratch: the running merged planes of
                 # phase 2 (win survives pix_ref's reuse as the color plane;
-                # inv caches the once-per-tile perspective divide).
-                (win_ref, shade_ref, inv_ref, *plane_refs) = shade_scratch
+                # inv caches the once-per-tile perspective divide). Streamed
+                # mode keys shade masks on the gid OUTPUT plane instead —
+                # no local-win scratch.
+                if streamed:
+                    (shade_ref, inv_ref, *plane_refs) = shade_scratch
+                    win_ref = None
+                else:
+                    (win_ref, shade_ref, inv_ref, *plane_refs) = shade_scratch
         # Grid (B, nty, ntx): the camera-batch axis rides the grid (serving /
         # multi-view path); per-frame tables are delivered per-b by the block
-        # index maps, so the body below is written for one frame.
+        # index maps, so the body below is written for one frame. Streamed
+        # mode appends the DYNAMIC chunk axis (B, nty, ntx, nc_live).
         b = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
+        ck = pl.program_id(3) if streamed else None
         nty = pl.num_programs(1)
         ntx = pl.num_programs(2)
         tile = ty * ntx + tx
@@ -329,8 +351,9 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             bb_n = counts_ref[2, tile]
             n_col = counts_ref[3, tile]
             bb_ncol = counts_ref[4, tile]
+            ids_row = b * ncmax + ck if streamed else b
             dma = pltpu.make_async_copy(
-                ids_in.at[b, pl.ds(seg_start >> 7, seg_rows)],
+                ids_in.at[ids_row, pl.ds(seg_start >> 7, seg_rows)],
                 ids_ref, ids_sem)
             dma.start()
             off = seg_start & 127
@@ -411,10 +434,20 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 visibility wrote), so both call this one helper."""
                 return (jnp.clip((ymn - y_top) >> 3, 0, nstr - 1),
                         jnp.clip((ymx - y_top) >> 3, 0, nstr - 1))
-            pix_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-            ooz_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
-            if track_ids:
-                gid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            if streamed:
+                # Chunk 0 initializes the revisited output blocks; later
+                # chunk steps accumulate into the resident planes.
+                @pl.when(ck == 0)
+                def _init_planes():
+                    pix_ref[0] = jnp.full((tile_h, tile_w),
+                                          jnp.int32(background))
+                    ooz_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
+                    gid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            else:
+                pix_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+                ooz_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
+                if track_ids:
+                    gid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
 
             def vis_entry(s, c):
                 xmn = tri_ref[_XMIN, s]
@@ -459,8 +492,11 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     wid8 = (gid_ref if track_ids else pix_ref)[0, pl.ds(o, 8), :]
                     upd = upd | ((ooz == best8) & (ooz > 0.0) & (tid < wid8))
                     ooz_ref[0, pl.ds(o, 8), :] = jnp.where(upd, ooz, best8)
-                    win8 = pix_ref[0, pl.ds(o, 8), :] if track_ids else wid8
-                    pix_ref[0, pl.ds(o, 8), :] = jnp.where(upd, s, win8)
+                    if not streamed:
+                        # Streamed mode keeps colors in pix_ref across chunk
+                        # steps; the winner plane is the gid output alone.
+                        win8 = pix_ref[0, pl.ds(o, 8), :] if track_ids else wid8
+                        pix_ref[0, pl.ds(o, 8), :] = jnp.where(upd, s, win8)
                     if track_ids:
                         gid_ref[0, pl.ds(o, 8), :] = jnp.where(upd, tid, wid8)
                     return cc
@@ -656,8 +692,9 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             colS = jax.lax.broadcasted_iota(jnp.int32, (shs, tile_w), 1)
             pyfS = (y_top + rowS).astype(jnp.float32)
             pxfS = (tx * tile_w + colS).astype(jnp.float32)
-            win_ref[...] = pix_ref[0]
-            pix_ref[0] = jnp.full((tile_h, tile_w), jnp.int32(background))
+            if not streamed:
+                win_ref[...] = pix_ref[0]
+                pix_ref[0] = jnp.full((tile_h, tile_w), jnp.int32(background))
             shade_ref[...] = zf
             inv_ref[...] = 1.0 / ooz_ref[0]
             neg1t = jnp.full((tile_h, tile_w), -1, jnp.int32)
@@ -678,14 +715,24 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # strips (shs rows): the phase is bound by per-strip
             # dynamic-offset loads/stores + loop bookkeeping, not vector
             # math, so fewer/fatter strips win.
+            def win_mask(sl, s, wid):
+                """This entry's winner mask for one shade strip: streamed
+                chunks key on the persistent GLOBAL-id plane (local ids
+                collide across chunks); single-chunk passes on the local-win
+                scratch."""
+                if streamed:
+                    return gid_ref[0, sl, :] == wid
+                return win_ref[sl, :] == s
+
             def color_entry(s, c):
                 r0, r1 = strip_range(tri_ref[_YMIN, s], tri_ref[_YMAX, s])
                 sc = read_shade_scalars(s)
+                wid = tri_ref[_GID, s] if streamed else None
 
                 def sstrip(rs, cc):
                     o = rs * shs
                     sl = pl.ds(o, shs)
-                    maskS = win_ref[sl, :] == s
+                    maskS = win_mask(sl, s, wid)
                     sh, cr, cg, cb = shade_base(
                         sc, pxfS, pyfS + o.astype(jnp.float32),
                         inv_ref[sl, :])
@@ -700,11 +747,12 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             def tex_entry(s, c):
                 r0, r1 = strip_range(tri_ref[_YMIN, s], tri_ref[_YMAX, s])
                 sc = read_shade_scalars(s)
+                wid = tri_ref[_GID, s] if streamed else None
 
                 def sstrip(rs, cc):
                     o = rs * shs
                     sl = pl.ds(o, shs)
-                    maskS = win_ref[sl, :] == s
+                    maskS = win_mask(sl, s, wid)
                     sh, cr, cg, _ = shade_base(
                         sc, pxfS, pyfS + o.astype(jnp.float32),
                         inv_ref[sl, :])
@@ -1496,6 +1544,115 @@ def _rasterize_compacted_ids(setup, textures, *, gids, cap, **kw):
     return pix, ooz, gid
 
 
+def _triangle_prelive(corners, *, width, height, near, min_area):
+    """Conservative per-TRIANGLE liveness from the UNCLIPPED corners — the
+    front-end analog of the kernel's live-first compaction (round 4).
+
+    Must never cull a triangle that could produce a live setup slot:
+
+    - all corners behind the near plane: the clip prepass invalidates both
+      slots (render.swift:269) — safe to cull.
+    - all corners in front: the primary slot IS the unmodified triangle and
+      the appended slot is invalid, so triangle_setup's screen-bounds + area
+      tests apply EXACTLY here (identical f32 expressions on identical rv
+      values — bit-equal to what triangle_setup would compute).
+    - straddling triangles: the clip rewrites their raster corners, so their
+      post-clip bbox/area is not knowable yet — kept unconditionally.
+    """
+    from .setup import edge_function
+
+    rv = corners["rv"]                       # (T, 3, 3)
+    z = rv[..., 2]
+    front = z > near
+    nf = front.sum(axis=1)
+    all_behind = nf == 0
+    all_front = nf == 3
+    rvmax = rv.max(axis=1)
+    rvmin = rv.min(axis=1)
+    area = edge_function(rv[:, 0, 0], rv[:, 0, 1], rv[:, 1, 0], rv[:, 1, 1],
+                         rv[:, 2, 0], rv[:, 2, 1])
+    front_live = (
+        (rvmax[:, 0] >= 0) & (rvmax[:, 1] >= 0)
+        & (rvmin[:, 0] < width) & (rvmin[:, 1] < height)
+        & (area >= min_area)
+    )
+    return ~all_behind & (~all_front | front_live)
+
+
+def _rasterize_corners_compacted(
+    corners,             # batched stage-A front-end: (B, T, 3, 3) arrays + tex
+    textures,
+    *,
+    near, factor, half_w, half_h, min_area,   # clip/setup constants (host)
+    cap,                 # slot cap of the downstream passes
+    width, height, **kw,
+):
+    """Round-4 front-end compaction: clip prepass + setup table scale with the
+    frame's LIVE triangle count instead of the full scene size.
+
+    The round-3 live-first compaction ran AFTER triangle setup, so at 10k
+    triangles ~0.7 ms of XLA front-end still scaled with the 2T slot table
+    (20,166 slots vs ~3k live). Here the live partition moves ahead of the
+    table build: a conservative triangle cull (_triangle_prelive — exact for
+    fully-in-front triangles, keep-all for near-plane straddlers) compacts
+    the CORNER arrays with the same one-sort + packed-take machinery, and
+    clip_prepass + triangle_setup then run per ``cap``-triangle chunk inside
+    lax.cond guards — trailing chunks skip their gather, clip, setup, binning
+    AND kernel passes at runtime. Each chunk's 2*cap-slot table feeds the
+    existing slot-compacted multipass (which collapses the dead clip-headroom
+    half back out), so kernel passes stay ~ceil(live_slots / cap).
+
+    Exactness: clip/setup are elementwise per triangle, so chunking cannot
+    change their f32 values; the triangle permutation is monotone on live
+    triangles and slots inherit it pairwise (2t, 2t+1), so ascending local
+    slot order == ascending global order among live slots and the strict
+    ``o > ooz`` chunk merge preserves the reference's earlier-triangle
+    depth-tie rule (render.swift:324). Pre-culled triangles fail
+    triangle_setup's own live tests by construction, so compaction only
+    reorders work, never changes winners.
+    """
+    from .clip import clip_prepass
+    from .setup import triangle_setup
+
+    bsz, t = corners["tex"].shape
+    live = jax.vmap(partial(_triangle_prelive, width=width, height=height,
+                            near=near, min_area=min_area))(corners)  # (B, T)
+    fmat = jnp.concatenate(
+        [corners[k].reshape(bsz, t, 9) for k in ("cv", "rv", "attr", "n")],
+        axis=-1)                                            # (B, T, 36)
+    tex = corners["tex"].astype(jnp.int32)                  # (B, T)
+    idx = jnp.arange(t, dtype=jnp.int32)[None, :]
+    perm = jnp.sort(jnp.where(live, idx, idx + t), axis=-1) % t
+    nlive_max = live.sum(axis=-1, dtype=jnp.int32).max()
+
+    def chunk_frame(c0):
+        sel = perm[:, c0: c0 + cap, None]
+        f = jnp.take_along_axis(fmat, sel, axis=1)
+        tx = jnp.take_along_axis(tex, sel[..., 0], axis=1)
+        cc = {k: f[:, :, 9 * j: 9 * j + 9].reshape(bsz, -1, 3, 3)
+              for j, k in enumerate(("cv", "rv", "attr", "n"))}
+
+        def one(cv, rv, attr, n, tx):
+            crn = clip_prepass(cv=cv, rv=rv, attr=attr, n=n, tex=tx,
+                               near=near, factor=factor,
+                               half_w=half_w, half_h=half_h)
+            return triangle_setup(crn, width, height, min_area)
+
+        return jax.vmap(one)(cc["cv"], cc["rv"], cc["attr"], cc["n"], tx)
+
+    pix, ooz = _rasterize_multipass(
+        chunk_frame(0), textures, width=width, height=height, **kw)
+    for c0 in range(cap, t, cap):
+        def run(pix, ooz, c0=c0):
+            p, o = _rasterize_multipass(
+                chunk_frame(c0), textures, width=width, height=height, **kw)
+            upd = o > ooz
+            return jnp.where(upd, p, pix), jnp.where(upd, o, ooz)
+        pix, ooz = jax.lax.cond(
+            c0 < nlive_max, run, lambda pix, ooz: (pix, ooz), pix, ooz)
+    return pix, ooz
+
+
 def _rasterize_multipass(setup, textures, spatial=False, cap_override=None,
                          **kw):
     bsz, s = setup["live"].shape
@@ -1645,7 +1802,7 @@ def _pick_tile_h(dev, height: int, cap: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config", "tile_h",
-                                   "tile_w", "interpret"))
+                                   "tile_w", "interpret", "compact_early"))
 def render_frame_pallas(
     dev: Dict[str, jnp.ndarray],
     m: jnp.ndarray,
@@ -1656,6 +1813,7 @@ def render_frame_pallas(
     tile_h: int | None = None,
     tile_w: int = 128,
     interpret: bool = False,
+    compact_early: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full frame: geometry front-end + Pallas visibility/shading + texel fetch.
 
@@ -1672,8 +1830,26 @@ def render_frame_pallas(
     """
     if tile_h is None:
         tile_h = _pick_tile_h(dev, height, MAX_SLOTS_PER_PASS_B1)
-    from ..renderer import build_setup
+    from ..renderer import build_corners, build_setup
 
+    t = dev["vert_c"].shape[0]
+    if compact_early and 2 * t > MAX_SLOTS_PER_PASS_B1:
+        # Large scene: compact triangles BEFORE the clip prepass and setup
+        # table so the whole front-end scales with the live count (round 4;
+        # small scenes keep the unchanged direct path below).
+        corners = jax.tree.map(
+            lambda a: a[None],
+            build_corners(dev, m, width=width, height=height, config=config))
+        pix, ooz = _rasterize_corners_compacted(
+            corners, dev["textures"],
+            near=config.near, factor=config.factor(height),
+            half_w=width / 2.0, half_h=height / 2.0,
+            min_area=config.min_area, cap=MAX_SLOTS_PER_PASS_B1,
+            width=width, height=height,
+            background=config.background_packed, tile_h=tile_h,
+            tile_w=tile_w, y_offset=0, interpret=interpret,
+            sampling=config.sampling)
+        return pix[0], ooz[0]
     setup = build_setup(dev, m, width=width, height=height, config=config)
     return rasterize_pallas(
         setup, dev["textures"], width=width, height=height,
@@ -1683,7 +1859,7 @@ def render_frame_pallas(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config", "tile_h",
-                                   "tile_w", "interpret"))
+                                   "tile_w", "interpret", "compact_early"))
 def render_batch_pallas(
     dev: Dict[str, jnp.ndarray],
     ms: jnp.ndarray,  # (B, 3, 4) camera batch
@@ -1694,18 +1870,32 @@ def render_batch_pallas(
     tile_h: int | None = None,
     tile_w: int = 128,
     interpret: bool = False,
+    compact_early: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batch of frames in ONE kernel dispatch: the camera axis rides the
     kernel grid (B, nty, ntx), so B frames cost ~B kernel-grid time with a
     single geometry front-end batch — no per-frame dispatch or lax.map."""
+    cap = MAX_SLOTS_PER_PASS_B1 if ms.shape[0] == 1 else MAX_SLOTS_PER_PASS
     if tile_h is None:
         # The multipass cap depends on the actual batch size: B=1 SMEM tables
         # are full-resident (MAX_SLOTS_PER_PASS_B1), matching
         # _rasterize_multipass's own pick.
-        cap = MAX_SLOTS_PER_PASS_B1 if ms.shape[0] == 1 else MAX_SLOTS_PER_PASS
         tile_h = _pick_tile_h(dev, height, cap)
-    from ..renderer import build_setup
+    from ..renderer import build_corners, build_setup
 
+    t = dev["vert_c"].shape[0]
+    if compact_early and 2 * t > cap:
+        corners = jax.vmap(lambda m: build_corners(
+            dev, m, width=width, height=height, config=config))(ms)
+        return _rasterize_corners_compacted(
+            corners, dev["textures"],
+            near=config.near, factor=config.factor(height),
+            half_w=width / 2.0, half_h=height / 2.0,
+            min_area=config.min_area, cap=cap,
+            width=width, height=height,
+            background=config.background_packed, tile_h=tile_h,
+            tile_w=tile_w, y_offset=0, interpret=interpret,
+            sampling=config.sampling)
     setup = jax.vmap(lambda m: build_setup(
         dev, m, width=width, height=height, config=config))(ms)
     return rasterize_pallas_batch(

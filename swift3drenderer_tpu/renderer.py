@@ -55,6 +55,25 @@ def scene_to_device(scene: Scene) -> Dict[str, jnp.ndarray]:
     )
 
 
+def build_corners(dev: Dict[str, jnp.ndarray], m: jnp.ndarray, *, width,
+                  height, config: RenderConfig) -> Dict[str, jnp.ndarray]:
+    """Stage-A geometry front-end: vertex/normal transforms + projection only
+    (pure matmul/elementwise on the pre-gathered corner-major arrays) — the
+    UNCLIPPED per-corner view of the scene. Large-scene rendering compacts
+    triangles on this output BEFORE paying for the clip prepass and setup
+    table (ops.raster_pallas._rasterize_corners_compacted); the arithmetic is
+    bit-identical to build_setup's stage A."""
+    factor = config.factor(height)
+    half_w, half_h = width / 2.0, height / 2.0
+    t = dev["vert_c"].shape[0]
+    cv_c = transform_points(dev["vert_c"].reshape(-1, 4), m)
+    rv_c = project(cv_c, factor, half_w, half_h)
+    nrm_c = transform_normals(dev["norm_c"].reshape(-1, 4), m)
+    return dict(cv=cv_c.reshape(t, 3, -1), rv=rv_c.reshape(t, 3, -1),
+                attr=dev["attr_c"], n=nrm_c.reshape(t, 3, -1),
+                tex=dev["tex_c"])
+
+
 def build_setup(dev: Dict[str, jnp.ndarray], m: jnp.ndarray, *, width,
                 height, config: RenderConfig,
                 proj=None) -> Dict[str, jnp.ndarray]:

@@ -212,6 +212,81 @@ def test_pallas_multi_pass_large_scene():
     assert pixel_mismatch_fraction(gp, np.asarray(px), tol=1) < 0.004
 
 
+def test_pallas_compact_early_bitexact_and_small_scene_path_unchanged():
+    # Round-4 front-end compaction: clip/setup run per cond-skipped triangle
+    # chunk on conservatively pre-culled, compacted corners. Must be
+    # BIT-IDENTICAL (pixels AND depth) to the round-3 full-table path, and
+    # small scenes must keep the direct build_setup path (no compaction ops
+    # in their front end).
+    import swift3drenderer_tpu.ops.raster_pallas as rp
+    from swift3drenderer_tpu.models import stress_scene
+
+    calls = []
+    real = rp._rasterize_corners_compacted
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    scene = stress_scene(seed=0, objects=220)  # 2641 tris -> 5282 slots > cap
+    assert 2 * scene.num_triangles > rp.MAX_SLOTS_PER_PASS_B1
+    dev = scene_to_device(scene)
+    m = identity_camera()
+    # Flight pose that exercises near-plane straddlers too.
+    cam = Camera()
+    cam.update(Input(), force_update=True)
+    m2 = cam.update(Input(up=2.0, mouse=(0.0, -40.0)))
+    try:
+        rp._rasterize_corners_compacted = spy
+        for mat in (m, m2):
+            mj = jnp.asarray(mat, jnp.float32)
+            px_new, d_new = rp.render_frame_pallas(
+                dev, mj, width=160, height=120, interpret=True)
+            px_old, d_old = rp.render_frame_pallas(
+                dev, mj, width=160, height=120, interpret=True,
+                compact_early=False)
+            np.testing.assert_array_equal(np.asarray(px_new),
+                                          np.asarray(px_old))
+            np.testing.assert_array_equal(np.asarray(d_new),
+                                          np.asarray(d_old))
+        assert calls  # the large scene actually took the compacted path
+        calls.clear()
+        small = tetrahedron_scene(seed=0)
+        sdev = scene_to_device(small)
+        rp.render_frame_pallas(sdev, jnp.asarray(m, jnp.float32),
+                               width=160, height=120, interpret=True)
+        assert not calls  # small scenes: front-end path unchanged
+    finally:
+        rp._rasterize_corners_compacted = real
+
+
+def test_triangle_prelive_is_conservative():
+    # The pre-cull may only drop triangles whose BOTH slots triangle_setup
+    # would kill anyway — verified against the full clip+setup liveness on a
+    # random-ish flight pose with straddlers.
+    from swift3drenderer_tpu.models import stress_scene
+    from swift3drenderer_tpu.ops.raster_pallas import _triangle_prelive
+    from swift3drenderer_tpu.renderer import build_corners
+
+    scene = stress_scene(seed=3, objects=64)
+    dev = scene_to_device(scene)
+    cam = Camera()
+    cam.update(Input(), force_update=True)
+    for inp in (Input(), Input(up=3.0, mouse=(30.0, -25.0))):
+        m = jnp.asarray(cam.update(inp), jnp.float32)
+        corners = build_corners(dev, m, width=160, height=120,
+                                config=DEFAULT_CONFIG)
+        pre = np.asarray(_triangle_prelive(
+            corners, width=160, height=120, near=DEFAULT_CONFIG.near,
+            min_area=DEFAULT_CONFIG.min_area))
+        setup = build_setup(dev, m, width=160, height=120,
+                            config=DEFAULT_CONFIG)
+        live_slots = np.asarray(setup["live"]).reshape(-1, 2)
+        live_tri = live_slots.any(axis=1)
+        # pre == False must imply both slots dead.
+        assert not (live_tri & ~pre).any()
+
+
 def test_pallas_tile_h_128_matches_golden():
     # tile_h=128 is the adaptive default at 4K+ (fewer grid steps); verify the
     # tall-tile kernel against golden at a small size.

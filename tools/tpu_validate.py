@@ -239,6 +239,76 @@ def main() -> int:
           f"({paged.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
           flush=True)
 
+    # 10k-triangle stress scene on hardware (round 4): the compact-early
+    # front-end (triangle pre-cull + per-chunk clip/setup) + live-compacted
+    # multipass — the largest on-chip golden check (earlier rounds topped out
+    # at 3078 slots). Camera pitched down so the object field fills the frame.
+    big = stress_scene(seed=0, objects=840)
+    cam = Camera()
+    cam.update(Input(), force_update=True)
+    m_big = cam.update(Input(mouse=(0.0, -35.0)))
+    px, _ = render_frame_pallas(
+        scene_to_device(big), jnp.asarray(m_big, jnp.float32),
+        width=320, height=240, interpret=(backend == "cpu"))
+    gp, _ = golden_render(big, m_big, 320, 240)
+    frac = mismatch(gp, np.asarray(px))
+    ok = frac < 0.005
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'stress-10k-compact':22s} "
+          f"({big.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+          flush=True)
+
+    # Segmented front-end under a camera BATCH combined with texture paging:
+    # B=2 halves the per-pass slot cap AND the 128-texture set pages through
+    # VMEM — the two multipass axes composed in one dispatch chain.
+    ms2 = np.stack([cam_m, np.asarray(m_big)])
+    from swift3drenderer_tpu.ops.raster_pallas import render_batch_pallas
+    bpx, _ = render_batch_pallas(
+        scene_to_device(paged), jnp.asarray(ms2, jnp.float32),
+        width=320, height=240, interpret=(backend == "cpu"))
+    worst = 0.0
+    for i, mm in enumerate(ms2):
+        gp, _ = golden_render(paged, np.asarray(mm), 320, 240)
+        worst = max(worst, mismatch(gp, np.asarray(bpx[i])))
+    ok = worst < 0.005
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'paged+batchB2':22s} "
+          f"({paged.num_triangles:5d} tris)  mismatch {worst * 100:.3f}%",
+          flush=True)
+
+    # Triangle-sharded path at kernel parity on a 10k scene, n=1 mesh on the
+    # chip (the 8-device runs are CPU-only): the compacted id-tracking
+    # multipass + shard_map composite, vs the plain render — bit-exact — plus
+    # a coarse single-chip timing proxy of the id-tracking overhead (chained
+    # renders; tunnel noise ~±10%, see BASELINE.md).
+    import time as _time
+    dev_big = scene_to_device(big)
+    mj = jnp.asarray(m_big, jnp.float32)
+    spx, _ = render_scene_sharded(dev_big, mj, width=320, height=240,
+                                  mesh=mesh, backend="pallas",
+                                  interpret=(backend == "cpu"))
+    ppx, _ = render_frame_pallas(dev_big, mj, width=320, height=240,
+                                 interpret=(backend == "cpu"))
+    exact = np.array_equal(np.asarray(spx), np.asarray(ppx))
+    def _t(fn):
+        fn()  # warm
+        t0 = _time.perf_counter()
+        for _ in range(10):
+            out = fn()
+        np.asarray(out[0]).sum()
+        return (_time.perf_counter() - t0) / 10
+    t_plain = _t(lambda: render_frame_pallas(
+        dev_big, mj, width=320, height=240, interpret=(backend == "cpu")))
+    t_shard = _t(lambda: render_scene_sharded(
+        dev_big, mj, width=320, height=240, mesh=mesh, backend="pallas",
+        interpret=(backend == "cpu")))
+    failures += not exact
+    print(f"{'PASS' if exact else 'FAIL'}  {'tri-sharded-n1-10k':22s} "
+          f"({big.num_triangles:5d} tris)  bit-exact={exact}  "
+          f"n1-overhead {t_shard / max(t_plain, 1e-9):.2f}x "
+          f"({t_plain * 1e3:.1f} -> {t_shard * 1e3:.1f} ms incl. host sync)",
+          flush=True)
+
     # Strip-height knob variant: tile_h=120 with EXPLICIT 24-row strips (the
     # ab_headline A/B pairing; distinct kernel build from the legalized-8
     # default). The S3D_*_STRIP_H knobs bind at module import, so this runs in
