@@ -940,8 +940,47 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # full nest was 27% SLOWER than sph=32; flattened it wins).
                     cmin_a = jnp.min(jnp.where(active, ch0, 4))
                     cmax_a = jnp.max(jnp.where(active, ch0, -1))
-                    rmin_a = jnp.min(jnp.where(active, LY0, atlas_rows))
-                    rmax_a = jnp.max(jnp.where(active, LY0, -1))
+                    # Per-PIXEL-ROW atlas-row reductions: feed the strip-wide
+                    # min/max (reduced once more below) AND the row-constancy
+                    # test for the single-gather fast path (round 4). When
+                    # every active pixel of each pixel row samples ONE atlas
+                    # row — floor-like surfaces under an upright camera, the
+                    # dominant texel population — the row select-tree can run
+                    # on block-row BROADCASTS (no per-row gather needed) and a
+                    # single lane gather of the selected row replaces all 8:
+                    # g[s,l] = block[LYrow[s] & 7, ln0[s,l]] == the general
+                    # path's block[LY0[s,l] & 7, ln0[s,l]] exactly because
+                    # LY0[s,:] is constant over active lanes; inactive pixels
+                    # and rows owned by other blocks mask out through the same
+                    # per-pixel BKEY compare as the general path.
+                    rowmin = jnp.min(jnp.where(active, LY0, atlas_rows),
+                                     axis=1, keepdims=True)     # (sph, 1)
+                    rowmax = jnp.max(jnp.where(active, LY0, -1),
+                                     axis=1, keepdims=True)
+                    rmin_a = jnp.min(rowmin)
+                    rmax_a = jnp.max(rowmax)
+                    rowconst = jnp.all((rowmax < 0) | (rowmin == rowmax))
+                    LYr = rowmax  # empty rows (-1) mask out via BKEY
+                    RB0r = (LYr & 1) != 0
+                    RB1r = (LYr & 2) != 0
+                    RB2r = (LYr & 4) != 0
+
+                    def block_contrib_rc(b, c):
+                        """Row-constant contribution: tree-select the block
+                        row per PIXEL ROW from sublane broadcasts, then ONE
+                        lane gather. 1 gather + 7 selects vs the general
+                        body's 8 gathers + 7 selects."""
+                        block = atlas_ref[pl.ds(pl.multiple_of(b * 8, 8), 8),
+                                          pl.ds(pl.multiple_of(c * 128, 128), 128)]
+                        rows = [jnp.broadcast_to(block[r: r + 1, :],
+                                                 (sph, tile_w))
+                                for r in range(8)]
+                        s0 = [jnp.where(RB0r, rows[i + 1], rows[i])
+                              for i in (0, 2, 4, 6)]
+                        s1 = [jnp.where(RB1r, s0[i + 1], s0[i]) for i in (0, 2)]
+                        W = jnp.where(RB2r, s1[1], s1[0])
+                        g = jnp.take_along_axis(W, ln0, axis=1)
+                        return jnp.where(BKEY == ((b << 2) | c), g, 0)
                     # Midpoint split of the row range: the fmod wrap + level
                     # offsets can put a strip's touched rows in two clusters
                     # at the ENDS of a level block (range scans walk up to 30
@@ -979,25 +1018,61 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # chunk (hist at 1080p: {1: 208, 2: 184, 3: 14}); the
                     # 2-chunk unroll would gather that chunk twice, so a
                     # strip-level cond picks the single-chunk body instead.
-                    def fast1(acc):
-                        def body(b, gp):
-                            return gp | block_contrib(b, cmin_a)
-                        return (_fast_scan(body, acc[0]),)
+                    # A second strip-level cond picks the row-constant
+                    # single-gather contribution when it applies (see the
+                    # rowconst notes above).
+                    def make_fast(contrib):
+                        def fast1(acc):
+                            def body(b, gp):
+                                return gp | contrib(b, cmin_a)
+                            return (_fast_scan(body, acc[0]),)
 
-                    def fast2(acc):
-                        def body(b, gp):
-                            return (gp | block_contrib(b, cmin_a)
-                                    | block_contrib(b, cmin_a + 1))
-                        return (_fast_scan(body, acc[0]),)
+                        def fast2(acc):
+                            def body(b, gp):
+                                return (gp | contrib(b, cmin_a)
+                                        | contrib(b, cmin_a + 1))
+                            return (_fast_scan(body, acc[0]),)
 
-                    def fast(acc):
-                        return jax.lax.cond(cmax_a > cmin_a, fast2, fast1, acc)
+                        return lambda acc: jax.lax.cond(
+                            cmax_a > cmin_a, fast2, fast1, acc)
+
+                    fast_gen = make_fast(block_contrib)
+                    fast_rc = make_fast(block_contrib_rc)
+
+                    if _ROWCONST_FAST:
+                        def fast(acc):
+                            return jax.lax.cond(rowconst, fast_rc, fast_gen,
+                                                acc)
+                    else:   # A/B probe knob: general body only
+                        fast = fast_gen
                 else:
                     _, LY0, LX0, LY1, LX1, WX, WY = strip
                     LYMIN, LYMAX = jnp.minimum(LY0, LY1), jnp.maximum(LY0, LY1)
                     ch0, ln0 = LX0 >> 7, LX0 & 127
                     ch1, ln1 = LX1 >> 7, LX1 & 127
                     CHMIN, CHMAX = jnp.minimum(ch0, ch1), jnp.maximum(ch0, ch1)
+                    # Bilinear row-constancy (round 4): BOTH sample rows must
+                    # be constant over each pixel row's active lanes; then two
+                    # broadcast select-trees + FOUR lane gathers replace the
+                    # 16 per-row gathers per block-chunk (see the nearest
+                    # rowconst notes above).
+                    r0min = jnp.min(jnp.where(active, LY0, atlas_rows),
+                                    axis=1, keepdims=True)
+                    r0max = jnp.max(jnp.where(active, LY0, -1),
+                                    axis=1, keepdims=True)
+                    r1min = jnp.min(jnp.where(active, LY1, atlas_rows),
+                                    axis=1, keepdims=True)
+                    r1max = jnp.max(jnp.where(active, LY1, -1),
+                                    axis=1, keepdims=True)
+                    rowconst = jnp.all(
+                        ((r0max < 0) | (r0min == r0max))
+                        & ((r1max < 0) | (r1min == r1max)))
+                    RB0a = (r0max & 1) != 0
+                    RB1a = (r0max & 2) != 0
+                    RB2a = (r0max & 4) != 0
+                    RB0b = (r1max & 1) != 0
+                    RB1b = (r1max & 2) != 0
+                    RB2b = (r1max & 4) != 0
 
                 # Both bilinear rows share the texture block (wrap stays
                 # inside the level block), so LY0's block identifies the
@@ -1015,7 +1090,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     tmin = jnp.min(jnp.where(active, TB, num_tex))
                     tmax = jnp.max(jnp.where(active, TB, -1))
 
-                def fetch_tex(t, acc):
+                def fetch_tex(t, acc, rc=False):
                     sel_t = active & (TB == t)
                     rmin = jnp.min(jnp.where(sel_t, LYMIN, atlas_rows))
                     rmax = jnp.max(jnp.where(sel_t, LYMAX, -1))
@@ -1061,6 +1136,48 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                             ar, ag, ab = acc
                             block = atlas_ref[pl.ds(pl.multiple_of(b * 8, 8), 8),
                                               pl.ds(pl.multiple_of(c * 128, 128), 128)]
+                            xw0 = jnp.where(ch0 == c, 1.0 - WX, 0.0)
+                            xw1 = jnp.where(ch1 == c, WX, 0.0)
+                            if rc:
+                                # Row-constant body: tree-select each SAMPLE's
+                                # block row from sublane broadcasts, then four
+                                # lane gathers (one per sample corner). Sample
+                                # masks compare the pixel's own row's BLOCK —
+                                # equal to its full row under the constancy
+                                # predicate; wrap may put the two samples in
+                                # different blocks, each masks independently.
+                                rows = [jnp.broadcast_to(
+                                            block[r: r + 1, :], (sph, tile_w))
+                                        for r in range(8)]
+
+                                def tree_sel(b0, b1, b2):
+                                    s0 = [jnp.where(b0, rows[i + 1], rows[i])
+                                          for i in (0, 2, 4, 6)]
+                                    s1 = [jnp.where(b1, s0[i + 1], s0[i])
+                                          for i in (0, 2)]
+                                    return jnp.where(b2, s1[1], s1[0])
+
+                                W0 = tree_sel(RB0a, RB1a, RB2a)
+                                W1 = tree_sel(RB0b, RB1b, RB2b)
+                                g00 = jnp.take_along_axis(W0, ln0, axis=1)
+                                g01 = jnp.take_along_axis(W0, ln1, axis=1)
+                                g10 = jnp.take_along_axis(W1, ln0, axis=1)
+                                g11 = jnp.take_along_axis(W1, ln1, axis=1)
+                                yw0 = jnp.where(active & ((LY0 >> 3) == b),
+                                                1.0 - WY, 0.0)
+                                yw1 = jnp.where(active & ((LY1 >> 3) == b),
+                                                WY, 0.0)
+
+                                def chan(sh, msk):
+                                    return (
+                                        yw0 * (xw0 * ((g00 >> sh) & msk)
+                                               + xw1 * ((g01 >> sh) & msk))
+                                        + yw1 * (xw0 * ((g10 >> sh) & msk)
+                                                 + xw1 * ((g11 >> sh) & msk)))
+
+                                return (ar + chan(16, 0xFF),
+                                        ag + chan(8, 0xFF),
+                                        ab + chan(0, 0xFF))
                             # Each pixel's (row, chunk) pair matches EXACTLY
                             # one unrolled row across the whole scan, so rows
                             # contribute independent weighted values added as
@@ -1077,8 +1194,6 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                                       + jnp.where(active & (LY1 == y), WY, 0.0))
                                 g0 = jnp.take_along_axis(rowb, ln0, axis=1)
                                 g1 = jnp.take_along_axis(rowb, ln1, axis=1)
-                                xw0 = jnp.where(ch0 == c, 1.0 - WX, 0.0)
-                                xw1 = jnp.where(ch1 == c, WX, 0.0)
                                 r_ = xw0 * ((g0 >> 16) & 0xFF) + xw1 * ((g1 >> 16) & 0xFF)
                                 g_ = xw0 * ((g0 >> 8) & 0xFF) + xw1 * ((g1 >> 8) & 0xFF)
                                 b_ = xw0 * (g0 & 0xFF) + xw1 * (g1 & 0xFF)
@@ -1110,7 +1225,16 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 
                 acc0 = (zf8, zf8, zf8) if bilinear else (zi8,)
                 if bilinear:
-                    return jax.lax.fori_loop(tmin, tmax + 1, fetch_tex, acc0)
+                    if not _ROWCONST_FAST:
+                        return jax.lax.fori_loop(tmin, tmax + 1, fetch_tex,
+                                                 acc0)
+                    return jax.lax.cond(
+                        rowconst,
+                        lambda acc: jax.lax.fori_loop(
+                            tmin, tmax + 1, partial(fetch_tex, rc=True), acc),
+                        lambda acc: jax.lax.fori_loop(
+                            tmin, tmax + 1, fetch_tex, acc),
+                        acc0)
                 # Nearest: dispatch to the flat fast path unless the strip
                 # spans multiple textures or more than two lane chunks.
                 return jax.lax.cond(
@@ -1202,6 +1326,10 @@ _NEAREST_STRIP_H = int(os.environ.get("S3D_NEAREST_STRIP_H", "16"))
 # On-chip A/B probe knob: force small scenes through the segmented front-end
 # (strip-scoped kernel) instead of the SMEM-resident flat path.
 _FORCE_SEGMENTED = os.environ.get("S3D_FORCE_SEGMENTED", "") == "1"
+
+# Round-4 row-constant single-gather fetch fast path (on by default;
+# S3D_ROWCONST=0 is the A/B probe's off switch).
+_ROWCONST_FAST = os.environ.get("S3D_ROWCONST", "1") == "1"
 
 # VMEM budget for the resident texture atlas (1 MB per 512x512 texture).
 # Probed on-chip (tools; 2026-08-16): a 96 MB atlas compiles and renders
@@ -1493,8 +1621,13 @@ def _live_compact(setup, gids=None):
     imat = jnp.stack(icols, axis=-1)                    # (B, S, 7|8) i32
 
     def chunk_setup(c0, cap):
-        sel = perm[:, c0: c0 + cap, None]   # (B, <=cap, 1); the last
-        f = jnp.take_along_axis(fmat, sel, axis=1)  # chunk may be short
+        # c0 may be a TRACED offset (the while_loop multipass): dynamic_slice
+        # clamps the start so the last window stays in bounds — overlapping a
+        # few already-rendered slots, which is idempotent under the strict
+        # (o > ooz, gid-tie) pass merges: a re-rendered slot reproduces the
+        # exact same depth/gid, which never strictly wins.
+        sel = jax.lax.dynamic_slice_in_dim(perm, c0, min(cap, s), 1)[..., None]
+        f = jnp.take_along_axis(fmat, sel, axis=1)
         i = jnp.take_along_axis(imat, sel, axis=1)
         sub, o = {}, 0
         for k, w in f32_keys:
@@ -1530,17 +1663,25 @@ def _rasterize_compacted_ids(setup, textures, *, gids, cap, **kw):
     sub, g = chunk_setup(0, cap)
     pix, ooz, gid = _rasterize_chunk(sub, textures, gids=g, **kw)
     gid = jnp.where(ooz > 0, gid, jnp.int32(2 ** 30))
-    for c0 in range(cap, s, cap):
-        def run(pix, ooz, gid, c0=c0):
-            sub, g = chunk_setup(c0, cap)
-            p, o, gg = _rasterize_chunk(sub, textures, gids=g, **kw)
-            gg = jnp.where(o > 0, gg, jnp.int32(2 ** 30))
-            upd = (o > ooz) | ((o == ooz) & (o > 0) & (gg < gid))
-            return (jnp.where(upd, p, pix), jnp.where(upd, o, ooz),
-                    jnp.where(upd, gg, gid))
-        pix, ooz, gid = jax.lax.cond(
-            c0 < nlive_max, run,
-            lambda pix, ooz, gid: (pix, ooz, gid), pix, ooz, gid)
+
+    # Trailing passes as ONE while_loop body over dynamic chunk windows (see
+    # _rasterize_multipass): a re-rendered overlap slot reproduces its exact
+    # (depth, gid), which the (o > ooz) | (ties to smaller gid) merge never
+    # takes — the clamped last window is idempotent.
+    def more(state):
+        return state[0] * cap < nlive_max
+
+    def body(state):
+        c, pix, ooz, gid = state
+        sub, g = chunk_setup(c * cap, cap)
+        p, o, gg = _rasterize_chunk(sub, textures, gids=g, **kw)
+        gg = jnp.where(o > 0, gg, jnp.int32(2 ** 30))
+        upd = (o > ooz) | ((o == ooz) & (o > 0) & (gg < gid))
+        return (c + 1, jnp.where(upd, p, pix), jnp.where(upd, o, ooz),
+                jnp.where(upd, gg, gid))
+
+    _, pix, ooz, gid = jax.lax.while_loop(
+        more, body, (jnp.int32(1), pix, ooz, gid))
     return pix, ooz, gid
 
 
@@ -1597,10 +1738,12 @@ def _rasterize_corners_compacted(
     fully-in-front triangles, keep-all for near-plane straddlers) compacts
     the CORNER arrays with the same one-sort + packed-take machinery, and
     clip_prepass + triangle_setup then run per ``cap``-triangle chunk inside
-    lax.cond guards — trailing chunks skip their gather, clip, setup, binning
-    AND kernel passes at runtime. Each chunk's 2*cap-slot table feeds the
-    existing slot-compacted multipass (which collapses the dead clip-headroom
-    half back out), so kernel passes stay ~ceil(live_slots / cap).
+    ONE while_loop bounded by the live triangle count — trailing chunks never
+    run their gather, clip, setup, binning or kernel passes, and the loop
+    body compiles ONCE regardless of scene size. Each chunk's 2*cap-slot
+    table feeds the existing slot-compacted multipass (which collapses the
+    dead clip-headroom half back out), so kernel passes stay
+    ~ceil(live_slots / cap).
 
     Exactness: clip/setup are elementwise per triangle, so chunking cannot
     change their f32 values; the triangle permutation is monotone on live
@@ -1626,7 +1769,10 @@ def _rasterize_corners_compacted(
     nlive_max = live.sum(axis=-1, dtype=jnp.int32).max()
 
     def chunk_frame(c0):
-        sel = perm[:, c0: c0 + cap, None]
+        # c0 may be traced (the while_loop below); the clamped last window
+        # re-renders a few triangles, which is idempotent under the strict
+        # o > ooz chunk merge (identical slots reproduce identical depth).
+        sel = jax.lax.dynamic_slice_in_dim(perm, c0, min(cap, t), 1)[..., None]
         f = jnp.take_along_axis(fmat, sel, axis=1)
         tx = jnp.take_along_axis(tex, sel[..., 0], axis=1)
         cc = {k: f[:, :, 9 * j: 9 * j + 9].reshape(bsz, -1, 3, 3)
@@ -1642,14 +1788,23 @@ def _rasterize_corners_compacted(
 
     pix, ooz = _rasterize_multipass(
         chunk_frame(0), textures, width=width, height=height, **kw)
-    for c0 in range(cap, t, cap):
-        def run(pix, ooz, c0=c0):
-            p, o = _rasterize_multipass(
-                chunk_frame(c0), textures, width=width, height=height, **kw)
-            upd = o > ooz
-            return jnp.where(upd, p, pix), jnp.where(upd, o, ooz)
-        pix, ooz = jax.lax.cond(
-            c0 < nlive_max, run, lambda pix, ooz: (pix, ooz), pix, ooz)
+    if t <= cap:
+        return pix, ooz
+
+    # Trailing triangle chunks as ONE while_loop body over dynamic windows
+    # (see _rasterize_multipass: a cond CHAIN compiled one clip+setup+kernel
+    # pipeline per chunk; the body is identical up to the window offset).
+    def more(state):
+        return state[0] * cap < nlive_max
+
+    def body(state):
+        c, pix, ooz = state
+        p, o = _rasterize_multipass(
+            chunk_frame(c * cap), textures, width=width, height=height, **kw)
+        upd = o > ooz
+        return (c + 1, jnp.where(upd, p, pix), jnp.where(upd, o, ooz))
+
+    _, pix, ooz = jax.lax.while_loop(more, body, (jnp.int32(1), pix, ooz))
     return pix, ooz
 
 
@@ -1673,20 +1828,26 @@ def _rasterize_multipass(setup, textures, spatial=False, cap_override=None,
         # (typical for the 10k-triangle stress scene — frustum culling kills
         # most of the field, and the clip-headroom half is dead by
         # construction) renders in ONE pass instead of three. Trailing
-        # chunks guard behind lax.cond on the live count, skipping their
-        # GATHER, binning sort AND kernel grid at runtime. (Cost/exactness
-        # notes: _live_compact.)
+        # passes run inside ONE while_loop whose bound is the live count
+        # (round 4; replaced a per-chunk lax.cond CHAIN that compiled a
+        # separate kernel instance per chunk — compile time at 10k triangles
+        # scaled with the table size while the loop body is identical up to
+        # the chunk offset). (Cost/exactness notes: _live_compact.)
         chunk_setup, nlive_max = _live_compact(setup)
         pix, ooz = _rasterize_chunk(chunk_setup(0, cap)[0], textures, **kw)
-        for c0 in range(cap, s, cap):
-            def run(pix, ooz, c0=c0):
-                p, o = _rasterize_chunk(chunk_setup(c0, cap)[0], textures,
-                                        **kw)
-                upd = o > ooz
-                return jnp.where(upd, p, pix), jnp.where(upd, o, ooz)
-            pix, ooz = jax.lax.cond(
-                c0 < nlive_max, run, lambda pix, ooz: (pix, ooz),
-                pix, ooz)
+
+        def more(state):
+            return state[0] * cap < nlive_max
+
+        def body(state):
+            c, pix, ooz = state
+            p, o = _rasterize_chunk(chunk_setup(c * cap, cap)[0], textures,
+                                    **kw)
+            upd = o > ooz
+            return (c + 1, jnp.where(upd, p, pix), jnp.where(upd, o, ooz))
+
+        _, pix, ooz = jax.lax.while_loop(
+            more, body, (jnp.int32(1), pix, ooz))
         return pix, ooz
 
     # Spatial slot partitioning: order slots by their bbox's top row (dead

@@ -21,6 +21,9 @@ import sys
 VARIANTS = [
     # (name, env overrides, extra bench args)
     ("default(128)", {}, []),
+    # Round-4 row-constant single-gather fetch path off (it is on by default;
+    # the pair isolates its contribution at the shipped config).
+    ("rowconst-off", {"S3D_ROWCONST": "0"}, []),
     # NB: the default 16-row strips don't divide 120; the nearest-divisor
     # legalization rounds them to 24 there (ties prefer larger) — the sph24
     # and sph8 variants below pin their strip heights EXPLICITLY so each
