@@ -250,7 +250,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                    bilinear: bool = False, phases: str = "full",
                    track_ids: bool = False, ids_resident: bool = False,
                    segmented: bool = False, seg_rows: int = 0,
-                   streamed: bool = False, ncmax: int = 0):
+                   streamed: bool = False, ncmax: int = 0,
+                   strip_h: int = 0):
     """Kernel factory: visibility + in-kernel shading and texture fetch per tile.
 
     ``phases`` is a timing instrument (tools/perf_probe.py): "vis" stops after
@@ -683,7 +684,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # Shade strip height: the largest multiple-of-8 divisor of
             # tile_h <= 32 (8-row granularity must subdivide it so the
             # visibility strip range converts exactly).
-            shs = max(h for h in range(8, min(tile_h, 32) + 1, 8)
+            shs = max(h for h in range(8, min(tile_h, _SHADE_STRIP_MAX) + 1, 8)
                       if tile_h % h == 0)
             sps = shs // 8
             # Fresh iotas, not pyf[:shs] slices: Mosaic rejects multi-sublane
@@ -856,7 +857,14 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # minimize gather work (1-vreg gathers, per-sub-strip row ranges
             # shrink ~2x) and the nearest path below flattens the loop nest so
             # the extra strips don't multiply fixed costs.
-            req = _NEAREST_STRIP_H if not bilinear else _FETCH_STRIP_H
+            explicit = (_NEAREST_STRIP_EXPLICIT if not bilinear
+                        else _FETCH_STRIP_EXPLICIT)
+            if explicit:
+                req = _NEAREST_STRIP_H if not bilinear else _FETCH_STRIP_H
+            else:
+                # Resolution-adaptive default (_pick_strip_h), else the
+                # measured flat default.
+                req = strip_h or _DEFAULT_STRIP_H
             # ValueError, not assert: under `python -O` a stripped assert would
             # silently truncate the strips loop (tile_h // sph) and leave the
             # tile's bottom rows unfetched.
@@ -866,7 +874,7 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     f"8 (check S3D_NEAREST_STRIP_H / S3D_FETCH_STRIP_H)")
             sph = min(req, tile_h)
             if tile_h % sph:
-                if req != _DEFAULT_STRIP_H:
+                if explicit:
                     # An EXPLICIT knob value that doesn't tile the block must
                     # fail fast, not silently run at a different height (an
                     # A/B probe would record timings for the wrong config).
@@ -1315,6 +1323,7 @@ _DEFAULT_STRIP_H = 16  # un-overridden knobs legalize at non-pow2 tile heights
 # os.environ afterwards has no effect (they exist for on-chip A/B probe runs,
 # which launch fresh processes anyway).
 _FETCH_STRIP_H = int(os.environ.get("S3D_FETCH_STRIP_H", "16"))
+_FETCH_STRIP_EXPLICIT = "S3D_FETCH_STRIP_H" in os.environ
 
 # Strip height of the NEAREST path's flattened fast-path fetch (the bilinear
 # path keeps _FETCH_STRIP_H). Measured on-chip at tile_h=128, 100-frame
@@ -1322,6 +1331,21 @@ _FETCH_STRIP_H = int(os.environ.get("S3D_FETCH_STRIP_H", "16"))
 # @4K (16 halves the per-strip fixed costs; 32's wider row-range unions and
 # 4-vreg gathers overshoot). Overridable for on-chip A/B probes.
 _NEAREST_STRIP_H = int(os.environ.get("S3D_NEAREST_STRIP_H", "16"))
+_NEAREST_STRIP_EXPLICIT = "S3D_NEAREST_STRIP_H" in os.environ
+
+
+def _pick_strip_h(height: int) -> int:
+    """Resolution-adaptive FETCH strip height (0 = keep the flat default).
+
+    Re-measured on-chip after the round-3/4 strip-scoped + rowconst reworks
+    (bench.py 20-frame scans, default scene): at 4K the round-2 ladder
+    inverted — 32-row strips measure 2.319 ms vs 2.653 at the legalized-16
+    default and 2.95 at 64 (fatter strips halve the per-strip fixed costs and
+    the row-range unions stay cheap at 4K's shallow texel gradients), while
+    1080p keeps the round-3 optimum (tile120/sph24 0.62 ms; 40-row strips
+    measure 0.74, tile128/sph32 0.82). The explicit S3D_*_STRIP_H knobs
+    always win over this rule (A/B probes)."""
+    return 32 if height >= 2160 else 0
 
 # On-chip A/B probe knob: force small scenes through the segmented front-end
 # (strip-scoped kernel) instead of the SMEM-resident flat path.
@@ -1330,6 +1354,10 @@ _FORCE_SEGMENTED = os.environ.get("S3D_FORCE_SEGMENTED", "") == "1"
 # Round-4 row-constant single-gather fetch fast path (on by default;
 # S3D_ROWCONST=0 is the A/B probe's off switch).
 _ROWCONST_FAST = os.environ.get("S3D_ROWCONST", "1") == "1"
+
+# Cap on the segmented SHADE phase's strip height (A/B probe knob; the shade
+# strips are the largest multiple-of-8 divisor of tile_h <= this cap).
+_SHADE_STRIP_MAX = int(os.environ.get("S3D_SHADE_STRIP_MAX", "32"))
 
 # VMEM budget for the resident texture atlas (1 MB per 512x512 texture).
 # Probed on-chip (tools; 2026-08-16): a 96 MB atlas compiles and renders
@@ -1357,6 +1385,7 @@ def _rasterize_chunk(
     sampling: str,
     phases: str = "full",
     gids: jnp.ndarray | None = None,   # (S,) global ids (enables id tracking)
+    strip_h: int = 0,                  # adaptive fetch-strip default (0 = flat)
 ) -> Tuple[jnp.ndarray, ...]:
     """One kernel pass over <= MAX_SLOTS_PER_PASS setup slots.
 
@@ -1488,7 +1517,8 @@ def _rasterize_chunk(
         _raster_kernel(tile_h, tile_w, background, atlas_rows,
                        bilinear=(sampling == "bilinear"), phases=phases,
                        track_ids=track_ids, ids_resident=ids_resident,
-                       segmented=not ids_resident, seg_rows=seg_rows),
+                       segmented=not ids_resident, seg_rows=seg_rows,
+                       strip_h=strip_h),
         grid=(bsz, nty, ntx),
         in_specs=[
             smem_b(8, nty * ntx),           # frame b's count/start/bb rows
@@ -1546,7 +1576,8 @@ def rasterize_pallas(
         batched, textures, spatial=spatial, width=width, height=height,
         background=background, tile_h=tile_h, tile_w=tile_w,
         y_offset=y_offset, interpret=interpret, sampling=sampling,
-        phases=phases, cap_override=cap_override)
+        phases=phases, cap_override=cap_override,
+        strip_h=_pick_strip_h(height))
     return pix[0], ooz[0]
 
 
@@ -1576,7 +1607,7 @@ def rasterize_pallas_batch(
         setup, textures, spatial=spatial, width=width, height=height,
         background=background, tile_h=tile_h, tile_w=tile_w,
         y_offset=y_offset, interpret=interpret, sampling=sampling,
-        phases=phases)
+        phases=phases, strip_h=_pick_strip_h(height))
 
 
 def _live_compact(setup, gids=None):
@@ -2009,7 +2040,7 @@ def render_frame_pallas(
             width=width, height=height,
             background=config.background_packed, tile_h=tile_h,
             tile_w=tile_w, y_offset=0, interpret=interpret,
-            sampling=config.sampling)
+            sampling=config.sampling, strip_h=_pick_strip_h(height))
         return pix[0], ooz[0]
     setup = build_setup(dev, m, width=width, height=height, config=config)
     return rasterize_pallas(
@@ -2056,7 +2087,7 @@ def render_batch_pallas(
             width=width, height=height,
             background=config.background_packed, tile_h=tile_h,
             tile_w=tile_w, y_offset=0, interpret=interpret,
-            sampling=config.sampling)
+            sampling=config.sampling, strip_h=_pick_strip_h(height))
     setup = jax.vmap(lambda m: build_setup(
         dev, m, width=width, height=height, config=config))(ms)
     return rasterize_pallas_batch(

@@ -349,6 +349,38 @@ def test_pallas_non_pow2_tile_h_matches_golden():
     assert pixel_mismatch_fraction(gp, np.asarray(px), tol=1) < 0.002
 
 
+def test_adaptive_fetch_strip_rule_and_derived_legalization():
+    # Round-4: _pick_strip_h picks 32-row fetch strips at 4K heights (on-chip:
+    # 2.47 ms vs 2.65 at the legalized-16 default), 0 (= flat default)
+    # elsewhere. A DERIVED strip height that does not divide tile_h must
+    # legalize silently (only EXPLICIT S3D_*_STRIP_H knobs fail fast), and the
+    # rendered output must stay golden-exact regardless of strip height.
+    from swift3drenderer_tpu.ops.raster_pallas import (_pick_strip_h,
+                                                       _rasterize_chunk)
+
+    assert _pick_strip_h(2160) == 32
+    assert _pick_strip_h(4320) == 32
+    assert _pick_strip_h(1080) == 0
+    assert _pick_strip_h(240) == 0
+
+    scene = default_scene(seed=0)
+    dev = scene_to_device(scene)
+    m = jnp.asarray(identity_camera(), jnp.float32)
+    setup = build_setup(dev, m, width=320, height=240, config=DEFAULT_CONFIG)
+    batched = jax.tree.map(lambda a: a[None], setup)
+    kw = dict(width=320, height=240,
+              background=DEFAULT_CONFIG.background_packed, tile_w=128,
+              y_offset=0, interpret=True, sampling="nearest")
+    # strip_h=32 does not divide tile_h=120: derived values legalize (to 24),
+    # no ValueError, same pixels as the default strip pick.
+    px, _ = _rasterize_chunk(batched, dev["textures"], tile_h=120,
+                             strip_h=32, **kw)
+    px0, _ = _rasterize_chunk(batched, dev["textures"], tile_h=120, **kw)
+    gp, _ = golden_render(scene, np.asarray(m), 320, 240)
+    assert pixel_mismatch_fraction(gp, np.asarray(px[0]), tol=1) < 0.002
+    np.testing.assert_array_equal(np.asarray(px), np.asarray(px0))
+
+
 def test_pallas_multipass_spatial_matches_golden():
     # Spatial slot partitioning reorders slots across passes; the
     # global-winner-id merge must still resolve depth ties to the smallest
