@@ -1339,13 +1339,15 @@ def _pick_strip_h(height: int) -> int:
 
     Re-measured on-chip after the round-3/4 strip-scoped + rowconst reworks
     (bench.py 20-frame scans, default scene): at 4K the round-2 ladder
-    inverted — 32-row strips measure 2.319 ms vs 2.653 at the legalized-16
-    default and 2.95 at 64 (fatter strips halve the per-strip fixed costs and
-    the row-range unions stay cheap at 4K's shallow texel gradients), while
-    1080p keeps the round-3 optimum (tile120/sph24 0.62 ms; 40-row strips
-    measure 0.74, tile128/sph32 0.82). The explicit S3D_*_STRIP_H knobs
-    always win over this rule (A/B probes)."""
-    return 32 if height >= 2160 else 0
+    inverted — fatter strips halve the per-strip fixed costs and the
+    row-range unions stay cheap at 4K's shallow texel gradients. With the
+    round-4 tile_h=216 exact-fit default (2160 = 10×216) the sweep measured
+    sph24 2.41 ms vs sph72 3.10; under a tile_h=128 override 24 legalizes to
+    32 (2.47-2.54) vs legalized-16 2.65 and 64 2.95. 1080p keeps the round-3
+    optimum (tile120/sph24 0.62 ms; 40-row strips measure 0.74, tile128/sph32
+    0.82). The explicit S3D_*_STRIP_H knobs always win over this rule (A/B
+    probes)."""
+    return 24 if height >= 2160 else 0
 
 # On-chip A/B probe knob: force small scenes through the segmented front-end
 # (strip-scoped kernel) instead of the SMEM-resident flat path.
@@ -1983,8 +1985,13 @@ def _pick_tile_h(dev, height: int, cap: int) -> int:
     9x128 = 1152 processed rows, 6.7% dead), 120 measured 0.686 ms vs
     0.793-0.798 at 128 on the 1080p headline (with 24-row fetch strips — see
     the strip legalization): the padded bottom band ran through every vector
-    phase. 4K keeps 128 (2160 = 18x120, but 17x128 pads only 0.7% — the
-    extra grid step costs more than the padding; measured, see KERNEL.md)."""
+    phase. 4K takes the TALLEST exact-fit tile under the kernel's 256-row cap
+    (round 4, on-chip sweep with 24-row strips): 216 (2160 = 10x216, 300 grid
+    steps) measured 2.41 ms vs 128's 2.47-2.54 (510 steps) and 240's 2.58
+    (9 rows but 270 steps: 240 = 10 strips of 24 vs 216's 9 — per-strip fixed
+    cost beats the step saving); 360/432 exceed the 256-row tile cap."""
+    if height >= 2160 and height % 216 == 0:
+        return 216
     if height >= 720:
         pad = -height % 128
         if height % 120 == 0 and pad * 50 > height:  # >2% padded rows

@@ -350,18 +350,27 @@ def test_pallas_non_pow2_tile_h_matches_golden():
 
 
 def test_adaptive_fetch_strip_rule_and_derived_legalization():
-    # Round-4: _pick_strip_h picks 32-row fetch strips at 4K heights (on-chip:
-    # 2.47 ms vs 2.65 at the legalized-16 default), 0 (= flat default)
-    # elsewhere. A DERIVED strip height that does not divide tile_h must
-    # legalize silently (only EXPLICIT S3D_*_STRIP_H knobs fail fast), and the
-    # rendered output must stay golden-exact regardless of strip height.
+    # Round-4: _pick_strip_h picks 24-row fetch strips at 4K heights, paired
+    # with the tile_h=216 exact-fit pick (on-chip sweep: 2.41 ms vs 2.47-2.54
+    # at tile128/sph32 and 2.65 at the legalized-16 default), 0 (= flat
+    # default) elsewhere. A DERIVED strip height that does not divide tile_h
+    # must legalize silently (only EXPLICIT S3D_*_STRIP_H knobs fail fast),
+    # and the rendered output must stay golden-exact regardless of strip
+    # height.
     from swift3drenderer_tpu.ops.raster_pallas import (_pick_strip_h,
+                                                       _pick_tile_h,
                                                        _rasterize_chunk)
 
-    assert _pick_strip_h(2160) == 32
-    assert _pick_strip_h(4320) == 32
+    assert _pick_strip_h(2160) == 24
+    assert _pick_strip_h(4320) == 24
     assert _pick_strip_h(1080) == 0
     assert _pick_strip_h(240) == 0
+    # 2160 = 10x216 exact under the 256-row tile cap; 1080 keeps 120; 4320
+    # (20x216) rides the same exact-fit rule; non-multiples fall back to 128.
+    assert _pick_tile_h(None, 2160, 4096) == 216
+    assert _pick_tile_h(None, 4320, 4096) == 216
+    assert _pick_tile_h(None, 1080, 4096) == 120
+    assert _pick_tile_h(None, 2176, 4096) == 128
 
     scene = default_scene(seed=0)
     dev = scene_to_device(scene)
