@@ -207,10 +207,19 @@ def main() -> None:
 
     if args.all_configs:
         rows = []
-        for name, w, h in [("tetrahedron", 640, 480), ("icosahedron", 1920, 1080),
-                           ("anisotropic", 1920, 1080), ("clipping", 1920, 1080),
-                           ("default", 3840, 2160)]:
-            r = measure(name, w, h, args.frames, args.backend)
+        # The five BASELINE configs plus the two scale rows (stress 10k and
+        # stress100k) — Mtri/s only carries signal on the stress families
+        # (the BASELINE scenes have <60 triangles).
+        for name, w, h, objects in [
+                ("tetrahedron", 640, 480, None),
+                ("icosahedron", 1920, 1080, None),
+                ("anisotropic", 1920, 1080, None),
+                ("clipping", 1920, 1080, None),
+                ("default", 3840, 2160, None),
+                ("stress", 1920, 1080, 840),
+                ("stress100k", 1920, 1080, None)]:
+            r = measure(name, w, h, args.frames, args.backend,
+                        objects=objects)
             batch = 1
             if r.get("overhead_bound") and args.backend == "pallas":
                 # Tiny frames sit below the single-dispatch noise floor; the

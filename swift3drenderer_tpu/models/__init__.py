@@ -5,6 +5,7 @@ from .scene import (  # noqa: F401
     default_scene,
     icosahedron_scene,
     regular_floor_scene,
+    stress100k_scene,
     stress_scene,
     tetrahedron_scene,
 )

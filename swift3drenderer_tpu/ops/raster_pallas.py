@@ -250,7 +250,6 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                    bilinear: bool = False, phases: str = "full",
                    track_ids: bool = False, ids_resident: bool = False,
                    segmented: bool = False, seg_rows: int = 0,
-                   streamed: bool = False, ncmax: int = 0,
                    strip_h: int = 0):
     """Kernel factory: visibility + in-kernel shading and texture fetch per tile.
 
@@ -275,21 +274,18 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
     counts_ref rows: 0 = segment count, 1 = segment start, 2 = broadband
     count (same value in every lane).
 
-    ``streamed`` (round 4, implies segmented + track_ids): the multipass
-    chunk axis rides the grid as a DYNAMIC innermost dimension
-    (B, nty, ntx, nc_live) instead of separate kernel launches — ONE launch
-    for any scene size, passes follow the frame's live count with no
-    cond-chain, and the output blocks stay VMEM-resident across chunk steps
-    (no per-pass full-frame HBM merge traffic). Per-chunk SMEM table windows
-    are selected by block index maps on the chunk axis (double-buffered by
-    the pipeline); the winner plane is the GLOBAL-id output (gid_ref) —
-    local slot ids collide across chunks, so visibility ties and shade masks
-    key on gids. ``ncmax`` is the static chunk capacity (the padded table's
-    chunk count) used for flattened per-(b, c) indexing.
+    (A round-5 ``streamed`` variant — the multipass chunk axis as a dynamic
+    innermost grid dimension, one launch for any scene size — was built,
+    validated bit-exact on chip, measured 2.3x SLOWER than the while_loop
+    multipass, and deleted: per-chunk SMEM table windows re-DMA ~0.5 MB per
+    (tile, chunk) grid step where the launch-per-pass design loads them once
+    per pass, and SMEM DMA bandwidth makes that the dominant frame cost.
+    Chunk-outer orders that would fix the traffic hang Mosaic (dynamic grid
+    bounds must be innermost; non-consecutive output revisits hang the
+    device). Full measurements: docs/KERNEL.md "Round-5".)
     """
     assert tile_w == 128 and tile_h % 8 == 0 and 8 <= tile_h <= 256, \
         "in-kernel texel fetch assumes 128-lane tiles of whole 8-row strips"
-    assert not streamed or (segmented and track_ids and ncmax > 0)
 
     def kernel(counts_ref, trf_ref, tri_ref, y0_ref, ids_in, *rest):
         if segmented:
@@ -314,22 +310,14 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             if segmented:
                 # Strip-scoped shading scratch: the running merged planes of
                 # phase 2 (win survives pix_ref's reuse as the color plane;
-                # inv caches the once-per-tile perspective divide). Streamed
-                # mode keys shade masks on the gid OUTPUT plane instead —
-                # no local-win scratch.
-                if streamed:
-                    (shade_ref, inv_ref, *plane_refs) = shade_scratch
-                    win_ref = None
-                else:
-                    (win_ref, shade_ref, inv_ref, *plane_refs) = shade_scratch
+                # inv caches the once-per-tile perspective divide).
+                (win_ref, shade_ref, inv_ref, *plane_refs) = shade_scratch
         # Grid (B, nty, ntx): the camera-batch axis rides the grid (serving /
         # multi-view path); per-frame tables are delivered per-b by the block
-        # index maps, so the body below is written for one frame. Streamed
-        # mode appends the DYNAMIC chunk axis (B, nty, ntx, nc_live).
+        # index maps, so the body below is written for one frame.
         b = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
-        ck = pl.program_id(3) if streamed else None
         nty = pl.num_programs(1)
         ntx = pl.num_programs(2)
         tile = ty * ntx + tx
@@ -352,9 +340,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             bb_n = counts_ref[2, tile]
             n_col = counts_ref[3, tile]
             bb_ncol = counts_ref[4, tile]
-            ids_row = b * ncmax + ck if streamed else b
             dma = pltpu.make_async_copy(
-                ids_in.at[ids_row, pl.ds(seg_start >> 7, seg_rows)],
+                ids_in.at[b, pl.ds(seg_start >> 7, seg_rows)],
                 ids_ref, ids_sem)
             dma.start()
             off = seg_start & 127
@@ -435,20 +422,10 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 visibility wrote), so both call this one helper."""
                 return (jnp.clip((ymn - y_top) >> 3, 0, nstr - 1),
                         jnp.clip((ymx - y_top) >> 3, 0, nstr - 1))
-            if streamed:
-                # Chunk 0 initializes the revisited output blocks; later
-                # chunk steps accumulate into the resident planes.
-                @pl.when(ck == 0)
-                def _init_planes():
-                    pix_ref[0] = jnp.full((tile_h, tile_w),
-                                          jnp.int32(background))
-                    ooz_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
-                    gid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-            else:
-                pix_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-                ooz_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
-                if track_ids:
-                    gid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            pix_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            ooz_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
+            if track_ids:
+                gid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
 
             def vis_entry(s, c):
                 xmn = tri_ref[_XMIN, s]
@@ -493,11 +470,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     wid8 = (gid_ref if track_ids else pix_ref)[0, pl.ds(o, 8), :]
                     upd = upd | ((ooz == best8) & (ooz > 0.0) & (tid < wid8))
                     ooz_ref[0, pl.ds(o, 8), :] = jnp.where(upd, ooz, best8)
-                    if not streamed:
-                        # Streamed mode keeps colors in pix_ref across chunk
-                        # steps; the winner plane is the gid output alone.
-                        win8 = pix_ref[0, pl.ds(o, 8), :] if track_ids else wid8
-                        pix_ref[0, pl.ds(o, 8), :] = jnp.where(upd, s, win8)
+                    win8 = pix_ref[0, pl.ds(o, 8), :] if track_ids else wid8
+                    pix_ref[0, pl.ds(o, 8), :] = jnp.where(upd, s, win8)
                     if track_ids:
                         gid_ref[0, pl.ds(o, 8), :] = jnp.where(upd, tid, wid8)
                     return cc
@@ -693,9 +667,8 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             colS = jax.lax.broadcasted_iota(jnp.int32, (shs, tile_w), 1)
             pyfS = (y_top + rowS).astype(jnp.float32)
             pxfS = (tx * tile_w + colS).astype(jnp.float32)
-            if not streamed:
-                win_ref[...] = pix_ref[0]
-                pix_ref[0] = jnp.full((tile_h, tile_w), jnp.int32(background))
+            win_ref[...] = pix_ref[0]
+            pix_ref[0] = jnp.full((tile_h, tile_w), jnp.int32(background))
             shade_ref[...] = zf
             inv_ref[...] = 1.0 / ooz_ref[0]
             neg1t = jnp.full((tile_h, tile_w), -1, jnp.int32)
@@ -716,24 +689,18 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             # strips (shs rows): the phase is bound by per-strip
             # dynamic-offset loads/stores + loop bookkeeping, not vector
             # math, so fewer/fatter strips win.
-            def win_mask(sl, s, wid):
-                """This entry's winner mask for one shade strip: streamed
-                chunks key on the persistent GLOBAL-id plane (local ids
-                collide across chunks); single-chunk passes on the local-win
-                scratch."""
-                if streamed:
-                    return gid_ref[0, sl, :] == wid
+            def win_mask(sl, s):
+                """This entry's winner mask for one shade strip."""
                 return win_ref[sl, :] == s
 
             def color_entry(s, c):
                 r0, r1 = strip_range(tri_ref[_YMIN, s], tri_ref[_YMAX, s])
                 sc = read_shade_scalars(s)
-                wid = tri_ref[_GID, s] if streamed else None
 
                 def sstrip(rs, cc):
                     o = rs * shs
                     sl = pl.ds(o, shs)
-                    maskS = win_mask(sl, s, wid)
+                    maskS = win_mask(sl, s)
                     sh, cr, cg, cb = shade_base(
                         sc, pxfS, pyfS + o.astype(jnp.float32),
                         inv_ref[sl, :])
@@ -748,12 +715,11 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             def tex_entry(s, c):
                 r0, r1 = strip_range(tri_ref[_YMIN, s], tri_ref[_YMAX, s])
                 sc = read_shade_scalars(s)
-                wid = tri_ref[_GID, s] if streamed else None
 
                 def sstrip(rs, cc):
                     o = rs * shs
                     sl = pl.ds(o, shs)
-                    maskS = win_mask(sl, s, wid)
+                    maskS = win_mask(sl, s)
                     sh, cr, cg, _ = shade_base(
                         sc, pxfS, pyfS + o.astype(jnp.float32),
                         inv_ref[sl, :])
@@ -1649,8 +1615,10 @@ def _live_compact(setup, gids=None):
              + [setup["is_tex"].astype(jnp.int32),
                 setup["live"].astype(jnp.int32)])
     if gids is not None:
-        icols.append(jnp.broadcast_to(
-            jnp.asarray(gids, jnp.int32)[None], (bsz, s)))
+        g = jnp.asarray(gids, jnp.int32)
+        if g.ndim == 1:                 # shared across frames
+            g = jnp.broadcast_to(g[None], (bsz, s))
+        icols.append(g)                 # (B, S): per-frame global ids
     imat = jnp.stack(icols, axis=-1)                    # (B, S, 7|8) i32
 
     def chunk_setup(c0, cap):
@@ -1841,6 +1809,97 @@ def _rasterize_corners_compacted(
     return pix, ooz
 
 
+def _rasterize_corners_ids(
+    corners, textures, *,
+    near, factor, half_w, half_h, min_area, cap,
+    width, height, gid_base=0, **kw,
+):
+    """Compact-early front-end WITH global winner ids — the triangle-sharded
+    path's per-device pipeline (round 5).
+
+    Same prelive cull + compaction + per-chunk clip/setup as
+    ``_rasterize_corners_compacted`` (the front-end scales with the LOCAL
+    range's live triangle count, never the full 2T table), but every kernel
+    pass tracks winners' GLOBAL slot ids and chunks merge by (max 1/z, then
+    min gid). ``gid_base`` is the range's first global triangle index; slot
+    gid = 2 * (gid_base + triangle) + {0, 1} (the clip_prepass
+    interleaving), so ascending gids == the framework's global slot order
+    and the composite preserves the reference's earlier-triangle-wins depth
+    ties (render.swift:324) across any chunk AND device split. Returns
+    (pix, ooz, gid) with gid == 2**30 where a pixel has no winner (the
+    composite's identity element).
+
+    Ranges that fit one pass skip the compaction machinery entirely. The
+    clamped last chunk window re-renders a few triangles, which reproduce
+    their exact (depth, gid) — never a strict win nor a smaller-gid tie —
+    so the overlap is idempotent.
+    """
+    from .clip import clip_prepass
+    from .setup import triangle_setup
+
+    bsz, t = corners["tex"].shape
+
+    def setup_of(cc, tx):
+        def one(cv, rv, attr, n, tx):
+            crn = clip_prepass(cv=cv, rv=rv, attr=attr, n=n, tex=tx,
+                               near=near, factor=factor,
+                               half_w=half_w, half_h=half_h)
+            return triangle_setup(crn, width, height, min_area)
+
+        return jax.vmap(one)(cc["cv"], cc["rv"], cc["attr"], cc["n"], tx)
+
+    if 2 * t <= cap:
+        gids = 2 * gid_base + jnp.arange(2 * t, dtype=jnp.int32)
+        return _rasterize_compacted_ids(
+            setup_of(corners, corners["tex"]), textures, gids=gids, cap=cap,
+            width=width, height=height, **kw)
+
+    # Prelive compaction (see _rasterize_corners_compacted for the cost and
+    # exactness notes); chunks of ``cap`` triangles, each rendered through
+    # the id-tracking slot-compacted multipass with its own global gids.
+    live = jax.vmap(partial(_triangle_prelive, width=width, height=height,
+                            near=near, min_area=min_area))(corners)  # (B, T)
+    fmat = jnp.concatenate(
+        [corners[k].reshape(bsz, t, 9) for k in ("cv", "rv", "attr", "n")],
+        axis=-1)                                            # (B, T, 36)
+    tex = corners["tex"].astype(jnp.int32)
+    idx = jnp.arange(t, dtype=jnp.int32)[None, :]
+    perm = jnp.sort(jnp.where(live, idx, idx + t), axis=-1) % t
+    nlive_max = live.sum(axis=-1, dtype=jnp.int32).max()
+
+    def chunk_frame(c0):
+        sel = jax.lax.dynamic_slice_in_dim(perm, c0, min(cap, t), 1)
+        f = jnp.take_along_axis(fmat, sel[..., None], axis=1)
+        tx = jnp.take_along_axis(tex, sel, axis=1)
+        cc = {k: f[:, :, 9 * j: 9 * j + 9].reshape(bsz, -1, 3, 3)
+              for j, k in enumerate(("cv", "rv", "attr", "n"))}
+        g = (2 * (gid_base + sel[:, :, None])
+             + jnp.arange(2, dtype=jnp.int32)).reshape(bsz, -1)
+        return setup_of(cc, tx), g
+
+    setup0, g0 = chunk_frame(0)
+    pix, ooz, gid = _rasterize_compacted_ids(
+        setup0, textures, gids=g0, cap=cap, width=width, height=height, **kw)
+    if t <= cap:
+        return pix, ooz, gid
+
+    def more(state):
+        return state[0] * cap < nlive_max
+
+    def body(state):
+        c, pix, ooz, gid = state
+        sub, g = chunk_frame(c * cap)
+        p, o, gg = _rasterize_compacted_ids(
+            sub, textures, gids=g, cap=cap, width=width, height=height, **kw)
+        upd = (o > ooz) | ((o == ooz) & (o > 0) & (gg < gid))
+        return (c + 1, jnp.where(upd, p, pix), jnp.where(upd, o, ooz),
+                jnp.where(upd, gg, gid))
+
+    _, pix, ooz, gid = jax.lax.while_loop(
+        more, body, (jnp.int32(1), pix, ooz, gid))
+    return pix, ooz, gid
+
+
 def _rasterize_multipass(setup, textures, spatial=False, cap_override=None,
                          **kw):
     bsz, s = setup["live"].shape
@@ -1985,11 +2044,13 @@ def _pick_tile_h(dev, height: int, cap: int) -> int:
     9x128 = 1152 processed rows, 6.7% dead), 120 measured 0.686 ms vs
     0.793-0.798 at 128 on the 1080p headline (with 24-row fetch strips — see
     the strip legalization): the padded bottom band ran through every vector
-    phase. 4K takes the TALLEST exact-fit tile under the kernel's 256-row cap
-    (round 4, on-chip sweep with 24-row strips): 216 (2160 = 10x216, 300 grid
-    steps) measured 2.41 ms vs 128's 2.47-2.54 (510 steps) and 240's 2.58
-    (9 rows but 270 steps: 240 = 10 strips of 24 vs 216's 9 — per-strip fixed
-    cost beats the step saving); 360/432 exceed the 256-row tile cap."""
+    phase. 4K hardcodes 216 — the MEASURED OPTIMUM among the exact-fit
+    candidates, not a tallest-divisor rule (round 4, on-chip sweep with
+    24-row strips): 216 (2160 = 10x216, 300 grid steps) measured 2.41 ms vs
+    128's 2.47-2.54 (510 steps) and the taller exact-fit 240's 2.58 (fewer
+    steps but 10 fetch strips of 24 per tile vs 216's 9 — per-strip fixed
+    cost beats the step saving); 360/432 exceed the 256-row tile cap. A
+    height >= 2160 not divisible by 216 falls through to the 120/128 rule."""
     if height >= 2160 and height % 216 == 0:
         return 216
     if height >= 720:

@@ -137,6 +137,14 @@ def render_scene_sharded(
     merges on strictly-greater depth (ties then favor lower-ranked devices,
     which hold lower slot ranges — still reference order).
 
+    Round 5: the pallas front-end is COMPACT-EARLY on the local range — each
+    device slices its TRIANGLE range from the stage-A corners (cheap matmul/
+    elementwise over T), then runs the prelive cull + per-chunk clip/setup +
+    id-tracking multipass on just its slice (ops.raster_pallas._rasterize_corners_
+    ids) instead of building the full 2T-slot setup table per device. Global
+    slot ids are offset by the range's first triangle, so the cross-device
+    (1/z, gid) composite is unchanged.
+
     ICI traffic: the composite is a butterfly (recursive-doubling) ppermute
     reduce when every mesh axis is a power of two — each device exchanges the
     (pix, 1/z, gid) planes log2(n) times, i.e. 12*log2(n) bytes/pixel, vs the
@@ -147,44 +155,65 @@ def render_scene_sharded(
     non-power-of-two fallback keeps the gather+scan form.
     """
     from ..ops.raster_pallas import (
-        MAX_SLOTS_PER_PASS_B1, _pick_tile_h, _rasterize_compacted_ids)
+        MAX_SLOTS_PER_PASS_B1, _pick_strip_h, _pick_tile_h,
+        _rasterize_corners_ids)
+    from ..renderer import build_corners
 
     n = mesh.devices.size
     axes = tuple(mesh.axis_names)
-    s = dev["vi"].shape[0] * 2  # clip prepass slots
-    s_pad = -(-s // n) * n      # dead-padded to a device multiple
-    local = s_pad // n
+    t = dev["vi"].shape[0]      # triangles
+    t_pad = -(-t // n) * n      # dead-padded to a device multiple
+    local_t = t_pad // n
 
     def shard_fn(dev_rep, m_rep):
-        setup = build_setup(dev_rep, m_rep, width=width, height=height,
-                            config=config)
-        if s_pad != s:
-            setup = {k: jnp.pad(v, ((0, s_pad - s),) + ((0, 0),) * (v.ndim - 1))
-                     for k, v in setup.items()}  # pads live=False slots
         rank = jax.lax.axis_index(axes[0])
         if len(axes) > 1:
             rank = rank * mesh.shape[axes[1]] + jax.lax.axis_index(axes[1])
-        lo = rank * local
-        sub = {k: jax.lax.dynamic_slice_in_dim(v, lo, local, axis=0)
-               for k, v in setup.items()}
-        gids = lo + jnp.arange(local, dtype=jnp.int32)
-        batched = jax.tree.map(lambda a: a[None], sub)
         if backend == "pallas":
-            # Kernel-parity path: the same live-first compaction, cond-skipped
-            # trailing chunks and adaptive tile height as the single-device
-            # multipass — each pass additionally tracks winners' GLOBAL ids
-            # for the cross-device composite below.
-            pix, ooz, gid = _rasterize_compacted_ids(
-                batched, dev_rep["textures"], gids=gids,
-                cap=MAX_SLOTS_PER_PASS_B1, width=width, height=height,
+            # Compact-early front-end on the LOCAL range (round 5): slice
+            # this device's triangle range from the stage-A corners, then
+            # prelive cull + per-chunk clip/setup + id-tracking multipass — the
+            # full-table clip/setup never runs anywhere. Winners' ids are
+            # GLOBAL (offset by the range's first triangle) for the
+            # cross-device composite below. Padded triangles have rv == 0
+            # (all corners behind the near plane), so the prelive cull drops
+            # them before any table is built.
+            corners = build_corners(dev_rep, m_rep, width=width,
+                                    height=height, config=config)
+            if t_pad != t:
+                corners = {k: jnp.pad(
+                    v, ((0, t_pad - t),) + ((0, 0),) * (v.ndim - 1))
+                    for k, v in corners.items()}
+            lo_t = rank * local_t
+            sub_c = {k: jax.lax.dynamic_slice_in_dim(v, lo_t, local_t, axis=0)
+                     for k, v in corners.items()}
+            batched = jax.tree.map(lambda a: a[None], sub_c)
+            pix, ooz, gid = _rasterize_corners_ids(
+                batched, dev_rep["textures"],
+                near=config.near, factor=config.factor(height),
+                half_w=width / 2.0, half_h=height / 2.0,
+                min_area=config.min_area, cap=MAX_SLOTS_PER_PASS_B1,
+                width=width, height=height, gid_base=lo_t,
                 background=config.background_packed,
                 tile_h=_pick_tile_h(dev_rep, height, MAX_SLOTS_PER_PASS_B1),
                 tile_w=128, y_offset=0, interpret=interpret,
-                sampling=config.sampling)
+                sampling=config.sampling, strip_h=_pick_strip_h(height))
             pix, ooz, gid = pix[0], ooz[0], gid[0]
         else:
             from ..ops.raster_xla import rasterize
 
+            setup = build_setup(dev_rep, m_rep, width=width, height=height,
+                                config=config)
+            s = 2 * t
+            s_pad = 2 * t_pad
+            local = s_pad // n
+            if s_pad != s:
+                setup = {k: jnp.pad(
+                    v, ((0, s_pad - s),) + ((0, 0),) * (v.ndim - 1))
+                    for k, v in setup.items()}  # pads live=False slots
+            lo = rank * local
+            sub = {k: jax.lax.dynamic_slice_in_dim(v, lo, local, axis=0)
+                   for k, v in setup.items()}
             pix, ooz = rasterize(
                 sub, dev_rep["textures"], width=width, height=height,
                 background=config.background_packed, sampling=config.sampling)

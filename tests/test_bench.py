@@ -49,7 +49,10 @@ def test_all_configs_writes_json_artifact(tmp_path, monkeypatch, capsys):
     bench.main()
     import json
     data = json.loads(out.read_text())
-    assert len(data["rows"]) == 5
+    # 5 BASELINE configs + the stress 10k and stress100k scale rows.
+    assert len(data["rows"]) == 7
+    assert [r["config"] for r in data["rows"][-2:]] == ["stress",
+                                                        "stress100k"]
     tet = data["rows"][0]
     assert tet["config"] == "tetrahedron" and tet["batch"] == 8
     assert ("tetrahedron", 8) in calls  # re-measured through serving

@@ -258,6 +258,57 @@ def main() -> int:
           f"({big.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
           flush=True)
 
+    # Corners-ids path vs plain compacted multipass (round 5): the
+    # triangle-sharded per-device pipeline (compact-early + global winner
+    # ids) must reproduce the plain compacted multipass on hardware, up to
+    # the documented cross-program FMA-contraction drift class (isolated
+    # channel-LSB flips, docs/KERNEL.md "Numerics").
+    import swift3drenderer_tpu.ops.raster_pallas as _rp
+    from swift3drenderer_tpu.renderer import build_corners
+
+    _cfg = DEFAULT_CONFIG
+    _corners = jax.tree.map(
+        lambda a: a[None],
+        build_corners(scene_to_device(big), jnp.asarray(m_big, jnp.float32),
+                      width=320, height=240, config=_cfg))
+    _kw = dict(near=_cfg.near, factor=_cfg.factor(240), half_w=160.0,
+               half_h=120.0, min_area=_cfg.min_area, width=320, height=240,
+               background=_cfg.background_packed, tile_h=64, tile_w=128,
+               y_offset=0, interpret=(backend == "cpu"),
+               sampling=_cfg.sampling)
+    _pc, _ = _rp._rasterize_corners_compacted(
+        _corners, scene_to_device(big)["textures"], cap=2048, **_kw)
+    _ps, _, _ = _rp._rasterize_corners_ids(
+        _corners, scene_to_device(big)["textures"], cap=2048, **_kw)
+    frac = mismatch(np.asarray(_pc[0]), np.asarray(_ps[0]))
+    ok = frac == 0.0
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'}  {'corners-ids-vs-seq10k':22s} "
+          f"({big.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+          flush=True)
+
+    # 100k-triangle scale proof (round 5): the stress100k family through the
+    # compact-early multipass; golden cross-check at reduced resolution (the
+    # golden oracle loops 100k triangles in NumPy — minutes-cheap at
+    # 320x240). Skippable for quick runs: --no-100k.
+    if "--no-100k" not in sys.argv:
+        from swift3drenderer_tpu.models import stress100k_scene
+
+        huge = stress100k_scene(seed=0)
+        cam = Camera()
+        cam.update(Input(), force_update=True)
+        m_huge = cam.update(Input(mouse=(0.0, -35.0)))
+        px, _ = render_frame_pallas(
+            scene_to_device(huge), jnp.asarray(m_huge, jnp.float32),
+            width=320, height=240, interpret=(backend == "cpu"))
+        gp, _ = golden_render(huge, m_huge, 320, 240)
+        frac = mismatch(gp, np.asarray(px))
+        ok = frac < 0.005
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'}  {'stress100k-compact':22s} "
+              f"({huge.num_triangles:5d} tris)  mismatch {frac * 100:.3f}%",
+              flush=True)
+
     # Segmented front-end under a camera BATCH combined with texture paging:
     # B=2 halves the per-pass slot cap AND the 128-texture set pages through
     # VMEM — the two multipass axes composed in one dispatch chain.
@@ -289,7 +340,10 @@ def main() -> int:
                                   interpret=(backend == "cpu"))
     ppx, _ = render_frame_pallas(dev_big, mj, width=320, height=240,
                                  interpret=(backend == "cpu"))
-    exact = np.array_equal(np.asarray(spx), np.asarray(ppx))
+    # The sharded path's id-tracking program is a distinct compile from the
+    # plain multipass: allow the documented channel-LSB drift class, require
+    # zero pixels beyond it (tol=1).
+    exact = mismatch(np.asarray(spx), np.asarray(ppx)) == 0.0
     def _t(fn):
         fn()  # warm
         t0 = _time.perf_counter()
@@ -304,7 +358,7 @@ def main() -> int:
         interpret=(backend == "cpu")))
     failures += not exact
     print(f"{'PASS' if exact else 'FAIL'}  {'tri-sharded-n1-10k':22s} "
-          f"({big.num_triangles:5d} tris)  bit-exact={exact}  "
+          f"({big.num_triangles:5d} tris)  tol1-exact={exact}  "
           f"n1-overhead {t_shard / max(t_plain, 1e-9):.2f}x "
           f"({t_plain * 1e3:.1f} -> {t_shard * 1e3:.1f} ms incl. host sync)",
           flush=True)
