@@ -827,9 +827,17 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                         else _FETCH_STRIP_EXPLICIT)
             if explicit:
                 req = _NEAREST_STRIP_H if not bilinear else _FETCH_STRIP_H
+            elif not bilinear:
+                # Round 5: with the range stats hoisted out of the strip
+                # bodies, 8-row strips (single-vreg planes — gathers, selects
+                # and masks all shrink 3x vs 24-row strips) win at every
+                # measured config: 1080p 0.568 vs 0.615 ms, 4K 2.212 vs
+                # 2.345, stress 10k 3.152 vs 3.321. 8 divides every legal
+                # tile_h, so no legalization case exists.
+                req = 8
             else:
-                # Resolution-adaptive default (_pick_strip_h), else the
-                # measured flat default.
+                # Bilinear keeps the resolution-adaptive default
+                # (_pick_strip_h), else the measured flat default.
                 req = strip_h or _DEFAULT_STRIP_H
             # ValueError, not assert: under `python -O` a stripped assert would
             # silently truncate the strips loop (tile_h // sph) and leave the
@@ -860,7 +868,50 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
 
             zi8 = jnp.zeros((sph, tile_w), jnp.int32)
 
-            def fetch_strip(strip):
+            if not bilinear:
+                # Per-pixel-ROW (sublane) stats hoisted out of the strip
+                # loop: lane-reduction trees cost the same whether run on
+                # the full tile planes once or on each strip's slice, but
+                # hoisting turns every per-strip FULL-PLANE reduction below
+                # (chunk range, activity, row range) into a cheap (sph, 1)
+                # sublane reduce — the round-5 answer to "per-strip fixed
+                # work dominates the 4K fetch" (docs/KERNEL.md).
+                act_t = tm != 0
+                LY0_t, LX0_t = planes
+                rowmin_t = jnp.min(jnp.where(act_t, LY0_t, atlas_rows),
+                                   axis=1, keepdims=True)
+                rowmax_t = jnp.max(jnp.where(act_t, LY0_t, -1),
+                                   axis=1, keepdims=True)
+                ch_tile = LX0_t >> 7
+                chmin_t = jnp.min(jnp.where(act_t, ch_tile, 4),
+                                  axis=1, keepdims=True)
+                chmax_t = jnp.max(jnp.where(act_t, ch_tile, -1),
+                                  axis=1, keepdims=True)
+                stats_t = (rowmin_t, rowmax_t, chmin_t, chmax_t)
+            else:
+                # Bilinear: both sample rows' per-row ranges hoisted (the
+                # strip bodies need all four for the row-constancy test);
+                # chunk stats cover both sample columns.
+                act_t = tm != 0
+                LY0_t, LX0_t, LY1_t, LX1_t = planes[:4]
+                r0min_t = jnp.min(jnp.where(act_t, LY0_t, atlas_rows),
+                                  axis=1, keepdims=True)
+                r0max_t = jnp.max(jnp.where(act_t, LY0_t, -1),
+                                  axis=1, keepdims=True)
+                r1min_t = jnp.min(jnp.where(act_t, LY1_t, atlas_rows),
+                                  axis=1, keepdims=True)
+                r1max_t = jnp.max(jnp.where(act_t, LY1_t, -1),
+                                  axis=1, keepdims=True)
+                chm_t = jnp.minimum(LX0_t >> 7, LX1_t >> 7)
+                chM_t = jnp.maximum(LX0_t >> 7, LX1_t >> 7)
+                chmin_t = jnp.min(jnp.where(act_t, chm_t, 4),
+                                  axis=1, keepdims=True)
+                chmax_t = jnp.max(jnp.where(act_t, chM_t, -1),
+                                  axis=1, keepdims=True)
+                stats_t = (r0min_t, r0max_t, r1min_t, r1max_t,
+                           chmin_t, chmax_t)
+
+            def fetch_strip(strip, stats):
                 """Fetch one pixel strip's texels: (active, coordinate
                 planes) sliced to (sph, tile_w). Nearest accumulates the
                 PACKED texel (one select per row, unpacked once at the end);
@@ -912,25 +963,25 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # 8-row strips the loop-nest setup would otherwise cost
                     # more than the gathers (measured: naive sph=8 with the
                     # full nest was 27% SLOWER than sph=32; flattened it wins).
-                    cmin_a = jnp.min(jnp.where(active, ch0, 4))
-                    cmax_a = jnp.max(jnp.where(active, ch0, -1))
-                    # Per-PIXEL-ROW atlas-row reductions: feed the strip-wide
-                    # min/max (reduced once more below) AND the row-constancy
-                    # test for the single-gather fast path (round 4). When
-                    # every active pixel of each pixel row samples ONE atlas
-                    # row — floor-like surfaces under an upright camera, the
-                    # dominant texel population — the row select-tree can run
-                    # on block-row BROADCASTS (no per-row gather needed) and a
-                    # single lane gather of the selected row replaces all 8:
-                    # g[s,l] = block[LYrow[s] & 7, ln0[s,l]] == the general
-                    # path's block[LY0[s,l] & 7, ln0[s,l]] exactly because
-                    # LY0[s,:] is constant over active lanes; inactive pixels
-                    # and rows owned by other blocks mask out through the same
-                    # per-pixel BKEY compare as the general path.
-                    rowmin = jnp.min(jnp.where(active, LY0, atlas_rows),
-                                     axis=1, keepdims=True)     # (sph, 1)
-                    rowmax = jnp.max(jnp.where(active, LY0, -1),
-                                     axis=1, keepdims=True)
+                    #
+                    # All range stats come from the HOISTED per-row planes
+                    # (sliced to (sph, 1)): only cheap sublane reduces remain
+                    # per strip. rowmin/rowmax feed the strip-wide ranges AND
+                    # the row-constancy test for the single-gather fast path
+                    # (round 4). When every active pixel of each pixel row
+                    # samples ONE atlas row — floor-like surfaces under an
+                    # upright camera, the dominant texel population — the row
+                    # select-tree can run on block-row BROADCASTS (no per-row
+                    # gather needed) and a single lane gather of the selected
+                    # row replaces all 8: g[s,l] = block[LYrow[s] & 7,
+                    # ln0[s,l]] == the general path's block[LY0[s,l] & 7,
+                    # ln0[s,l]] exactly because LY0[s,:] is constant over
+                    # active lanes; inactive pixels and rows owned by other
+                    # blocks mask out through the same per-pixel BKEY compare
+                    # as the general path.
+                    rowmin, rowmax, chmin_s, chmax_s = stats  # (sph, 1)
+                    cmin_a = jnp.min(chmin_s)
+                    cmax_a = jnp.max(chmax_s)
                     rmin_a = jnp.min(rowmin)
                     rmax_a = jnp.max(rowmax)
                     rowconst = jnp.all((rowmax < 0) | (rowmin == rowmax))
@@ -963,12 +1014,23 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # then [min-at-or-above-mid, rmax] skips the dead middle
                     # for two extra per-strip reductions and NO per-block
                     # serial dependency (the min-reduce-per-block variant lost
-                    # its savings to exactly that serialization).
-                    mid_a = (rmin_a + rmax_a + 1) >> 1
-                    rlo_max = jnp.max(jnp.where(active & (LY0 < mid_a),
+                    # its savings to exactly that serialization). The two
+                    # full-plane masked reductions are the strip's most
+                    # expensive fixed cost, and a span under 4 blocks has no
+                    # middle worth skipping — narrow strips (the common case)
+                    # take rlo_max = rmax_a instead, which makes the first
+                    # scan cover the whole range and the second scan 0-trip.
+                    def _split_bounds(_):
+                        mid_a = (rmin_a + rmax_a + 1) >> 1
+                        rlo = jnp.max(jnp.where(active & (LY0 < mid_a),
                                                 LY0, -1))
-                    rhi_min = jnp.min(jnp.where(active & (LY0 >= mid_a),
+                        rhi = jnp.min(jnp.where(active & (LY0 >= mid_a),
                                                 LY0, atlas_rows))
+                        return rlo, rhi
+
+                    rlo_max, rhi_min = jax.lax.cond(
+                        (rmax_a >> 3) - (rmin_a >> 3) >= 4, _split_bounds,
+                        lambda _: (rmax_a, atlas_rows), 0)
 
                     def _fast_scan(body, gp):
                         # 2-wide manual unroll: the ~75 ns/iteration fori
@@ -1029,15 +1091,13 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                     # be constant over each pixel row's active lanes; then two
                     # broadcast select-trees + FOUR lane gathers replace the
                     # 16 per-row gathers per block-chunk (see the nearest
-                    # rowconst notes above).
-                    r0min = jnp.min(jnp.where(active, LY0, atlas_rows),
-                                    axis=1, keepdims=True)
-                    r0max = jnp.max(jnp.where(active, LY0, -1),
-                                    axis=1, keepdims=True)
-                    r1min = jnp.min(jnp.where(active, LY1, atlas_rows),
-                                    axis=1, keepdims=True)
-                    r1max = jnp.max(jnp.where(active, LY1, -1),
-                                    axis=1, keepdims=True)
+                    # rowconst notes above). All ranges come pre-reduced from
+                    # the hoisted per-row planes.
+                    r0min, r0max, r1min, r1max, chmin_s, chmax_s = stats
+                    rmin_a = jnp.minimum(jnp.min(r0min), jnp.min(r1min))
+                    rmax_a = jnp.maximum(jnp.max(r0max), jnp.max(r1max))
+                    cmin_a = jnp.min(chmin_s)
+                    cmax_a = jnp.max(chmax_s)
                     rowconst = jnp.all(
                         ((r0max < 0) | (r0min == r0max))
                         & ((r1max < 0) | (r1min == r1max)))
@@ -1061,33 +1121,55 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                 if not bilinear:
                     tmin, tmax = rmin_a >> 9, rmax_a >> 9
                 else:
-                    tmin = jnp.min(jnp.where(active, TB, num_tex))
-                    tmax = jnp.max(jnp.where(active, TB, -1))
+                    # LY0's block identifies the texture (both sample rows
+                    # wrap inside the level block), so the hoisted LY0 range
+                    # bounds the texture loop (>>9 is monotonic; empty strips
+                    # keep the sentinels: atlas_rows>>9 == num_tex, -1>>9 ==
+                    # -1) — two fewer full-plane reductions per strip.
+                    tmin = jnp.min(r0min) >> 9
+                    tmax = jnp.max(r0max) >> 9
 
-                def fetch_tex(t, acc, rc=False):
+                def fetch_tex(t, acc, rc=False, bounds=None):
                     sel_t = active & (TB == t)
-                    rmin = jnp.min(jnp.where(sel_t, LYMIN, atlas_rows))
-                    rmax = jnp.max(jnp.where(sel_t, LYMAX, -1))
-                    cmin = jnp.min(jnp.where(sel_t, CHMIN, 4))
-                    cmax = jnp.max(jnp.where(sel_t, CHMAX, -1))
+                    if bounds is None:
+                        rmin = jnp.min(jnp.where(sel_t, LYMIN, atlas_rows))
+                        rmax = jnp.max(jnp.where(sel_t, LYMAX, -1))
+                        cmin = jnp.min(jnp.where(sel_t, CHMIN, 4))
+                        cmax = jnp.max(jnp.where(sel_t, CHMAX, -1))
+                    else:
+                        # Single-texture strip (tmin == tmax): sel_t covers
+                        # every active pixel, so the strip-wide hoisted
+                        # ranges ARE this texture's ranges — no masked
+                        # full-plane reductions at all.
+                        rmin, rmax, cmin, cmax = bounds
                     # Midpoint split of the row range (see the flat fast path):
                     # skips the dead middle blocks of wrap-cluster strips. The
                     # below/above bounds cover BOTH bilinear sample rows; the
                     # second scan starts past the first's last block, so no
                     # block is visited twice (bilinear contributions ADD — a
                     # revisit would double them).
-                    mid = (rmin + rmax + 1) >> 1
-                    below = jnp.max(jnp.where(sel_t & (LYMAX < mid),
-                                              LYMAX, -1))
-                    if bilinear:
-                        below = jnp.maximum(below, jnp.max(
-                            jnp.where(sel_t & (LYMIN < mid), LYMIN, -1)))
-                    above = jnp.min(jnp.where(sel_t & (LYMIN >= mid),
-                                              LYMIN, atlas_rows))
-                    if bilinear:
-                        above = jnp.minimum(above, jnp.min(
-                            jnp.where(sel_t & (LYMAX >= mid), LYMAX,
-                                      atlas_rows)))
+                    # The masked reductions only run on strips whose span has
+                    # a middle worth skipping (>= 4 blocks); narrow strips
+                    # scan [rmin, rmax] whole (below = rmax makes the second
+                    # loop 0-trip) and save the fixed cost.
+                    def _split_bounds_tex(_):
+                        mid = (rmin + rmax + 1) >> 1
+                        below = jnp.max(jnp.where(sel_t & (LYMAX < mid),
+                                                  LYMAX, -1))
+                        if bilinear:
+                            below = jnp.maximum(below, jnp.max(
+                                jnp.where(sel_t & (LYMIN < mid), LYMIN, -1)))
+                        above = jnp.min(jnp.where(sel_t & (LYMIN >= mid),
+                                                  LYMIN, atlas_rows))
+                        if bilinear:
+                            above = jnp.minimum(above, jnp.min(
+                                jnp.where(sel_t & (LYMAX >= mid), LYMAX,
+                                          atlas_rows)))
+                        return below, above
+
+                    below, above = jax.lax.cond(
+                        (rmax >> 3) - (rmin >> 3) >= 4, _split_bounds_tex,
+                        lambda _: (rmax, atlas_rows), 0)
 
                     # The loop iterates 8-row-aligned atlas BLOCKS, not rows:
                     # the dominant per-iteration cost is fixed (block load +
@@ -1198,23 +1280,39 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
                         (rmax >> 3) + 1, block_body, acc)
 
                 acc0 = (zf8, zf8, zf8) if bilinear else (zi8,)
+                # Single-texture strips (the overwhelming majority) pass the
+                # hoisted strip-wide ranges straight into fetch_tex; only
+                # multi-texture strips run the per-texture masked reductions.
+                strip_bounds = (rmin_a, rmax_a, cmin_a, cmax_a)
+
+                def _tex_scan(rc):
+                    def scan(acc):
+                        return jax.lax.cond(
+                            tmax > tmin,
+                            lambda a: jax.lax.fori_loop(
+                                tmin, tmax + 1, partial(fetch_tex, rc=rc), a),
+                            lambda a: fetch_tex(tmin, a, rc=rc,
+                                                bounds=strip_bounds),
+                            acc)
+                    return scan
+
                 if bilinear:
                     if not _ROWCONST_FAST:
-                        return jax.lax.fori_loop(tmin, tmax + 1, fetch_tex,
-                                                 acc0)
-                    return jax.lax.cond(
-                        rowconst,
-                        lambda acc: jax.lax.fori_loop(
-                            tmin, tmax + 1, partial(fetch_tex, rc=True), acc),
-                        lambda acc: jax.lax.fori_loop(
-                            tmin, tmax + 1, fetch_tex, acc),
-                        acc0)
+                        return _tex_scan(False)(acc0)
+                    return jax.lax.cond(rowconst, _tex_scan(True),
+                                        _tex_scan(False), acc0)
                 # Nearest: dispatch to the flat fast path unless the strip
-                # spans multiple textures or more than two lane chunks.
-                return jax.lax.cond(
-                    (tmax > tmin) | (cmax_a - cmin_a > 1),
-                    lambda acc: jax.lax.fori_loop(tmin, tmax + 1, fetch_tex, acc),
-                    fast, acc0)
+                # spans multiple textures or more than two lane chunks. A
+                # strip with no textured winners (rmax_a < 0, a free check on
+                # the hoisted stats) skips even the key/predicate setup —
+                # horizon-boundary tiles at 4K have several dead strips.
+                def _active_strip(acc):
+                    return jax.lax.cond(
+                        (tmax > tmin) | (cmax_a - cmin_a > 1),
+                        _tex_scan(False), fast, acc)
+
+                return jax.lax.cond(rmax_a >= 0, _active_strip,
+                                    lambda acc: acc, acc0)
 
             # The fetch runs per 8-row pixel STRIP (one vreg), not per full
             # tile: an atlas-row iteration's masked selects cost O(strip)
@@ -1230,17 +1328,19 @@ def _raster_kernel(tile_h: int, tile_w: int, background: int, atlas_rows: int,
             for si in range(tile_h // sph):
                 sl = slice(si * sph, si * sph + sph)
                 strip = tuple(p[sl] for p in (tm,) + planes)
+                stats = tuple(s[sl] for s in stats_t)
 
-                def run(strip=strip):
-                    return fetch_strip(strip)
+                def run(strip=strip, stats=stats):
+                    return fetch_strip(strip, stats)
 
                 if bilinear:
+                    # Dead-strip check on the hoisted (sph, 1) row stats —
+                    # no full-plane reduce.
                     strips.append(jax.lax.cond(
-                        jnp.max(strip[0]) > 0, run, lambda: empty))
+                        jnp.max(stats[1]) >= 0, run, lambda: empty))
                 else:
-                    # No skip branch: an empty strip's rmax_a = -1 makes every
-                    # fori 0-trip, so it already costs only the plane setup —
-                    # cheaper than a max-reduce + cond per strip at small sph.
+                    # Dead strips short-circuit inside fetch_strip on the
+                    # hoisted rmax_a scalar (no per-strip reduce needed).
                     strips.append(run())
 
             if bilinear:
@@ -1301,7 +1401,12 @@ _NEAREST_STRIP_EXPLICIT = "S3D_NEAREST_STRIP_H" in os.environ
 
 
 def _pick_strip_h(height: int) -> int:
-    """Resolution-adaptive FETCH strip height (0 = keep the flat default).
+    """Resolution-adaptive BILINEAR fetch strip height (0 = flat default).
+
+    Round 5: the NEAREST path no longer consults this — with the hoisted
+    range stats, 8-row strips measured fastest at every config and 8 divides
+    every legal tile_h, so the nearest default is a constant (see the kernel
+    fetch phase). This rule now only governs the bilinear path.
 
     Re-measured on-chip after the round-3/4 strip-scoped + rowconst reworks
     (bench.py 20-frame scans, default scene): at 4K the round-2 ladder

@@ -446,14 +446,38 @@ def test_pallas_tile_h_216_matches_golden():
     assert pixel_mismatch_fraction(gp, np.asarray(px), tol=1) < 0.002
 
 
+def test_pallas_wide_span_strips_match_golden():
+    # At 512x384 the receding floor crosses ripmap-level boundaries inside
+    # single fetch strips: the per-axis level offset (511 & ~(2L-1),
+    # render.swift:94-111) jumps by hundreds of atlas rows there, so the
+    # strip's touched row span exceeds 4 blocks and the fetch takes the
+    # conditional midpoint-split path (round-5 _split_bounds — narrow strips
+    # skip those reductions entirely). Golden parity over both sampling
+    # modes covers the wide path AND the hoisted single-texture bounds
+    # shortcut end-to-end.
+    import dataclasses
+
+    from swift3drenderer_tpu.models import SCENES
+
+    m = identity_camera()
+    for name, sampling in (("default", "nearest"),
+                           ("anisotropic", "bilinear")):
+        scene = SCENES[name](seed=0)
+        cfg = dataclasses.replace(DEFAULT_CONFIG, sampling=sampling)
+        gp, _ = golden_render(scene, m, 512, 384, config=cfg)
+        px, _ = Renderer(scene, backend="pallas", config=cfg).render(
+            m, 512, 384)
+        assert pixel_mismatch_fraction(gp, px, tol=1) < 0.002, name
+
+
 def test_adaptive_fetch_strip_rule_and_derived_legalization():
-    # Round-4: _pick_strip_h picks 24-row fetch strips at 4K heights, paired
-    # with the tile_h=216 exact-fit pick (on-chip sweep: 2.41 ms vs 2.47-2.54
-    # at tile128/sph32 and 2.65 at the legalized-16 default), 0 (= flat
-    # default) elsewhere. A DERIVED strip height that does not divide tile_h
-    # must legalize silently (only EXPLICIT S3D_*_STRIP_H knobs fail fast),
-    # and the rendered output must stay golden-exact regardless of strip
-    # height.
+    # _pick_strip_h picks 24-row BILINEAR fetch strips at 4K heights (round
+    # 4 sweep), 0 (= flat default) elsewhere; since round 5 the nearest path
+    # uses constant 8-row strips instead (which divide every legal tile_h).
+    # The tile_h=216 exact-fit pick stands. A DERIVED strip height that does
+    # not divide tile_h must legalize silently (only EXPLICIT S3D_*_STRIP_H
+    # knobs fail fast), and the rendered output must stay golden-exact
+    # regardless of strip height.
     from swift3drenderer_tpu.ops.raster_pallas import (_pick_strip_h,
                                                        _pick_tile_h,
                                                        _rasterize_chunk)
